@@ -1,0 +1,260 @@
+"""DELTA_BINARY_PACKED codec for int32/int64 (Parquet enums 5).
+
+Byte-identical, vectorized re-implementation of
+``/root/reference/encoding/delta-binary-packed-encoder.go:96-384`` /
+``delta-binary-packed-decoder.go:11-322``, validated against the reference's
+golden vector (``delta-binary-packed-encoder_test.go:118-137``:
+``[7,5,3,1,2,3,4,5]`` -> ``80 01 04 08 0e 03 02 00 00 00 c0 3f 00*6``).
+
+Wire format:
+  header  = <uvarint blockSize><uvarint miniblockCount><uvarint valueCount>
+            <zigzag-varint firstValue>
+  per block (only blocks holding >=1 delta are written):
+            <zigzag-varint minDelta>
+            <miniblockCount bytes of per-miniblock bit widths (0-padded)>
+            <each non-empty miniblock bit-packed at its width, zero-padded
+             to the full miniblock value count>
+
+Semantics replicated exactly:
+- deltas are computed in the value dtype with two's-complement wraparound,
+  and rebased by subtracting the block minimum, again with wraparound
+  (encoder comment at ``delta-binary-packed-encoder.go:173-178``);
+- per-miniblock width = ``bits.Len`` of the max *unsigned* rebased delta
+  (``:195-208``);
+- a quirk kept for byte-identity: the int64 encoder initializes its minimum
+  tracker to ``math.MaxInt32`` (``delta-binary-packed-encoder.go:277``), so
+  for int64 blocks the effective ``minDelta`` is
+  ``min(min(deltas), 2^31-1)``;
+- partial final miniblocks are packed at full miniblock width with zero
+  padding *after* rebasing (``:196-217``);
+- a final block is only flushed if it holds at least one delta (``:68-73``).
+
+Decoder rejects the reference's malformed-input set
+(``delta-binary-packed-decoder.go:29-94``): block size not a positive
+multiple of 128, miniblock count not a positive divisor with a
+multiple-of-32 quotient, bit width > 32 (int32) / > 64 (int64), truncation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ._bits import (
+    bit_length_u32,
+    bit_length_u64,
+    pack_varwidth,
+    read_uvarint,
+    read_varint,
+    unpack_varwidth,
+    write_uvarint,
+    write_varint,
+)
+
+DEFAULT_BLOCK_SIZE = 128
+DEFAULT_MINIBLOCK_COUNT = 4
+_MAX_INT32 = (1 << 31) - 1
+
+
+def _check_params(block_size: int, miniblock_count: int) -> int:
+    if block_size <= 0 or block_size % 128 != 0:
+        raise ValueError(f"invalid block size {block_size}")
+    if miniblock_count <= 0 or block_size % miniblock_count != 0:
+        raise ValueError(f"invalid miniblock count {miniblock_count}")
+    mb_values = block_size // miniblock_count
+    if mb_values % 32 != 0:
+        raise ValueError(
+            f"invalid miniblock count {miniblock_count}: "
+            "miniblock value count must be a multiple of 32"
+        )
+    return mb_values
+
+
+def delta_bp_encode(
+    values: np.ndarray,
+    *,
+    width: int = 32,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    miniblock_count: int = DEFAULT_MINIBLOCK_COUNT,
+) -> bytes:
+    """Encode an int32 (width=32) or int64 (width=64) array."""
+    mb_values = _check_params(block_size, miniblock_count)
+    if width == 32:
+        sdtype, udtype = np.int32, np.uint32
+        bitlen = bit_length_u32
+    elif width == 64:
+        sdtype, udtype = np.int64, np.uint64
+        bitlen = bit_length_u64
+    else:
+        raise ValueError("width must be 32 or 64")
+
+    vals = np.ascontiguousarray(values).astype(sdtype, copy=False)
+    n = vals.size
+
+    out = bytearray()
+    write_uvarint(out, block_size)
+    write_uvarint(out, miniblock_count)
+    write_uvarint(out, n)
+    first = int(vals[0]) if n else 0
+    write_varint(out, first)
+    if n <= 1:
+        return bytes(out)
+
+    # wraparound deltas in the value dtype (reference AddInt32 :149-151)
+    with np.errstate(over="ignore"):
+        deltas = (vals[1:].astype(udtype) - vals[:-1].astype(udtype)).astype(
+            sdtype
+        )
+    nd = deltas.size
+
+    for bstart in range(0, nd, block_size):
+        block = deltas[bstart : bstart + block_size]
+        min_delta = int(block.min())
+        if width == 64:
+            # int64 quirk: tracker initialized to MaxInt32 (:277)
+            min_delta = min(min_delta, _MAX_INT32)
+        with np.errstate(over="ignore"):
+            rebased = (
+                block.astype(udtype) - udtype(min_delta & ((1 << width) - 1))
+            ).astype(udtype)
+        write_varint(out, min_delta)
+
+        nmb = (block.size + mb_values - 1) // mb_values
+        # per-miniblock bit widths over the real (unpadded) values
+        widths8 = np.zeros(miniblock_count, dtype=np.uint8)
+        padded = np.zeros(nmb * mb_values, dtype=udtype)
+        padded[: rebased.size] = rebased
+        mat = padded.reshape(nmb, mb_values)
+        # max over real values only: padding zeros can't raise the max, and
+        # bits.Len(0) = 0, so the full-row max equals the reference's
+        # max-over-real-values whenever at least one real value exists.
+        maxes = mat.max(axis=1)
+        bws = bitlen(maxes)
+        widths8[:nmb] = bws.astype(np.uint8)
+        out += widths8.tobytes()
+
+        # pack every present miniblock at its width in one vectorized call
+        per_value_widths = np.repeat(bws, mb_values)
+        out += pack_varwidth(padded, per_value_widths)
+    return bytes(out)
+
+
+def delta_bp_decode(
+    buf: bytes | memoryview, *, width: int = 32
+) -> tuple[np.ndarray, int]:
+    """Decode a full stream; returns (values, bytes_consumed)."""
+    if width == 32:
+        sdtype, udtype = np.int32, np.uint32
+        max_bw = 32
+    elif width == 64:
+        sdtype, udtype = np.int64, np.uint64
+        max_bw = 64
+    else:
+        raise ValueError("width must be 32 or 64")
+    buf = bytes(buf)
+    pos = 0
+    block_size, pos = read_uvarint(buf, pos)
+    miniblock_count, pos = read_uvarint(buf, pos)
+    mb_values = _check_params(block_size, miniblock_count)
+    n, pos = read_uvarint(buf, pos)
+    first, pos = read_varint(buf, pos)
+    if n == 0:
+        return np.zeros(0, dtype=sdtype), pos
+    out = np.empty(n, dtype=sdtype)
+    out[0] = sdtype(first)
+    nd = n - 1
+    if nd == 0:
+        return out, pos
+    got = 0
+    parts: list[np.ndarray] = []
+    while got < nd:
+        min_delta, pos = read_varint(buf, pos)
+        if pos + miniblock_count > len(buf):
+            raise EOFError("truncated miniblock width list")
+        bws = np.frombuffer(buf, dtype=np.uint8, count=miniblock_count, offset=pos
+                            ).astype(np.int64)
+        pos += miniblock_count
+        if (bws > max_bw).any():
+            raise ValueError(f"invalid bit width > {max_bw}")
+        remaining = nd - got
+        nmb = min(miniblock_count, (remaining + mb_values - 1) // mb_values)
+        per_value_widths = np.repeat(bws[:nmb], mb_values)
+        nbytes = int(per_value_widths.sum()) // 8
+        if pos + nbytes > len(buf):
+            raise EOFError("truncated miniblock payload")
+        rebased = unpack_varwidth(buf[pos : pos + nbytes], per_value_widths)
+        pos += nbytes
+        take = min(remaining, nmb * mb_values)
+        with np.errstate(over="ignore"):
+            block = (
+                rebased[:take].astype(udtype)
+                + udtype(min_delta & ((1 << width) - 1))
+            ).astype(sdtype)
+        parts.append(block)
+        got += take
+    deltas = np.concatenate(parts)
+    with np.errstate(over="ignore"):
+        out[1:] = (
+            np.cumsum(deltas.astype(udtype), dtype=udtype)
+            + udtype(first & ((1 << width) - 1))
+        ).astype(sdtype)
+    return out, pos
+
+
+def delta_bp_encoded_size(
+    values: np.ndarray,
+    *,
+    width: int = 32,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    miniblock_count: int = DEFAULT_MINIBLOCK_COUNT,
+) -> int:
+    """Exact encoded size in one vectorized pass (codec selector input)."""
+    mb_values = block_size // miniblock_count
+    if width == 32:
+        sdtype, udtype, bitlen = np.int32, np.uint32, bit_length_u32
+    else:
+        sdtype, udtype, bitlen = np.int64, np.uint64, bit_length_u64
+    vals = np.ascontiguousarray(values).astype(sdtype, copy=False)
+    n = vals.size
+
+    def uvarint_len(x: int) -> int:
+        return max(1, (x.bit_length() + 6) // 7)
+
+    from ._bits import zigzag64
+
+    size = (
+        uvarint_len(block_size)
+        + uvarint_len(miniblock_count)
+        + uvarint_len(n)
+        + uvarint_len(zigzag64(int(vals[0]) if n else 0))
+    )
+    if n <= 1:
+        return size
+    with np.errstate(over="ignore"):
+        deltas = (vals[1:].astype(udtype) - vals[:-1].astype(udtype)).astype(sdtype)
+    nd = deltas.size
+    nblocks = (nd + block_size - 1) // block_size
+    padded = np.zeros(nblocks * block_size, dtype=sdtype)
+    padded[:nd] = deltas
+    mat = padded.reshape(nblocks, block_size)
+    mins = mat[:, : min(block_size, nd)].min(axis=1) if nblocks == 1 else None
+    # per-block min over real deltas only
+    mins = np.empty(nblocks, dtype=np.int64)
+    for b in range(nblocks):
+        lo = b * block_size
+        hi = min(lo + block_size, nd)
+        m = int(deltas[lo:hi].min())
+        if width == 64:
+            m = min(m, _MAX_INT32)
+        mins[b] = m
+        size += uvarint_len(zigzag64(m))
+        size += miniblock_count  # width bytes
+        with np.errstate(over="ignore"):
+            rebased = (
+                deltas[lo:hi].astype(udtype) - udtype(m & ((1 << width) - 1))
+            ).astype(udtype)
+        nmb = (rebased.size + mb_values - 1) // mb_values
+        pad = np.zeros(nmb * mb_values, dtype=udtype)
+        pad[: rebased.size] = rebased
+        bws = bitlen(pad.reshape(nmb, mb_values).max(axis=1))
+        size += int(bws.sum()) * mb_values // 8
+    return size

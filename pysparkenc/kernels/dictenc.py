@@ -1,0 +1,111 @@
+"""Dictionary encoding (Parquet ``RLE_DICTIONARY`` enum 8 / legacy
+``PLAIN_DICTIONARY`` enum 2).
+
+Re-expresses ``/root/reference/types/dict.go:14-117`` +
+``datastore/dict.go:9-105``: the reference deduplicates value-at-a-time
+through a Go hash map; here one ``pandas.factorize``/``np.unique`` call
+yields the first-occurrence-ordered dictionary and the int32 code stream at
+once.
+
+Wire format (data page, ``types/dict.go:34-57``):
+    <1 byte bit-width = bits.Len(len(dict))><hybrid-encoded codes>
+Dictionary page: values PLAIN-encoded (``layout/page-dict.go:42-49`` accepts
+only PLAIN), using the matching PLAIN codec from :mod:`.plain`.
+
+Decode validates ``code < len(dict)`` exactly like ``types/dict.go:104-111``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .plain import (
+    plain_decode_bytes,
+    plain_decode_numeric,
+    plain_encode_bytes,
+    plain_encode_numeric,
+)
+from .rle import hybrid_decode, hybrid_encode, hybrid_encoded_size
+
+
+def factorize_numeric(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(codes int32, uniques) in first-occurrence order (DictStore order)."""
+    codes, uniques = pd.factorize(values, use_na_sentinel=False)
+    return codes.astype(np.int32), np.asarray(uniques)
+
+
+def factorize_bytes(
+    offsets: np.ndarray, data: bytes
+) -> tuple[np.ndarray, np.ndarray, bytes]:
+    """Factorize a binary column in offsets+data form.
+
+    Returns (codes int32, dict_offsets int64, dict_data).
+    """
+    n = offsets.size - 1
+    raw = np.frombuffer(data, dtype=np.uint8)
+    views = np.split(raw, offsets[1:-1]) if n > 1 else [raw[offsets[0]:offsets[-1]]]
+    objs = np.empty(n, dtype=object)
+    for i, v in enumerate(views):
+        objs[i] = v.tobytes()
+    codes, uniques = pd.factorize(objs, use_na_sentinel=False)
+    lens = np.fromiter((len(u) for u in uniques), dtype=np.int64, count=len(uniques))
+    dict_offsets = np.zeros(len(uniques) + 1, dtype=np.int64)
+    np.cumsum(lens, out=dict_offsets[1:])
+    dict_data = b"".join(uniques)
+    return codes.astype(np.int32), dict_offsets, dict_data
+
+
+def dict_index_bit_width(n_unique: int) -> int:
+    """bits.Len(uint(len(values))) — the reference sizes the code stream by
+    the dictionary *count*, not count-1 (``types/dict.go:41``)."""
+    return int(n_unique).bit_length()
+
+
+def dict_encode_codes(codes: np.ndarray, n_unique: int) -> bytes:
+    if n_unique == 0:
+        raise ValueError("empty dictionary nothing to write")
+    w = dict_index_bit_width(n_unique)
+    return bytes([w]) + hybrid_encode(codes.astype(np.int64), w)
+
+
+def dict_decode_codes(buf: bytes | memoryview, n: int, n_unique: int) -> np.ndarray:
+    buf = bytes(buf)
+    if len(buf) < 1:
+        raise EOFError("missing dictionary bit-width byte")
+    w = buf[0]
+    if w > 32:
+        raise ValueError(f"invalid bit-width {w}")
+    codes = hybrid_decode(buf[1:], w, n).astype(np.int64)
+    if codes.size and codes.max() >= n_unique:
+        raise ValueError(
+            f"invalid index {int(codes.max())} for dictionary of {n_unique}"
+        )
+    return codes
+
+
+def dict_codes_encoded_size(codes: np.ndarray, n_unique: int) -> int:
+    w = dict_index_bit_width(n_unique)
+    return 1 + hybrid_encoded_size(codes.astype(np.int64), w)
+
+
+# -- dictionary page (PLAIN values) -----------------------------------------
+
+def dict_page_encode_numeric(uniques: np.ndarray, dtype: str) -> bytes:
+    return plain_encode_numeric(uniques, dtype)
+
+
+def dict_page_decode_numeric(
+    buf: bytes | memoryview, dtype: str, n_unique: int
+) -> np.ndarray:
+    return plain_decode_numeric(buf, dtype, n_unique)
+
+
+def dict_page_encode_bytes(dict_offsets: np.ndarray, dict_data: bytes) -> bytes:
+    return plain_encode_bytes(dict_offsets, dict_data)
+
+
+def dict_page_decode_bytes(
+    buf: bytes | memoryview, n_unique: int
+) -> tuple[np.ndarray, bytes]:
+    return plain_decode_bytes(buf, n_unique)

@@ -1,0 +1,329 @@
+"""FSST: Fast Static Symbol Table string compression.
+
+Implemented from the published paper (Boncz, Neumann, Leis — "FSST: Fast
+Random Access String Compression", VLDB 2020); the reference repo has **no**
+FSST — BASELINE.json's north star adds it as a sibling string codec next to
+DELTA_BYTE_ARRAY (see SURVEY.md §2.1 E15).
+
+Design (paper-faithful, simplified):
+- a static table of at most 254 symbols, each 1..8 bytes;
+- code 255 is the escape marker: ``255, b`` emits literal byte ``b``;
+- greedy longest-match encoding;
+- table trained by a few generations of "encode the sample, count adjacent
+  symbol concatenations, keep the highest apparent-gain symbols".
+
+The encoder/decoder here process a whole string *column* in lock-step:
+every vector step advances one symbol in **all** strings simultaneously
+(window gather -> per-length uint64 key -> ``np.searchsorted`` against the
+sorted symbol keys), so the Python-level loop runs ``O(max_symbols_per_
+string)`` times, not ``O(total_bytes)``.
+
+Wire format:
+    <uvarint n_symbols>
+    n_symbols × (<1 byte len><symbol bytes>)
+    <DELTA_BINARY_PACKED int32 stream of encoded lengths>
+    <concatenated encoded strings>
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ._bits import read_uvarint, write_uvarint
+from .delta import delta_bp_decode, delta_bp_encode
+from .plain import _ramp
+
+ESCAPE = 255
+MAX_SYMBOLS = 254
+MAX_SYMBOL_LEN = 8
+_GENERATIONS = 5
+_SAMPLE_BYTES = 1 << 14
+
+
+# ---------------------------------------------------------------------------
+# training
+# ---------------------------------------------------------------------------
+
+def train_symbols(sample: bytes) -> list[bytes]:
+    """Train a symbol table on ``sample`` (a concatenation of sample
+    strings is fine; symbols crossing string boundaries only cost a little
+    compression, never correctness).
+
+    Every distinct byte value seen in the sample is always kept as a
+    single-byte symbol: an escaped literal costs 2 bytes, so dropping a
+    live byte in favour of one more multi-byte symbol loses whenever that
+    byte appears outside the sampled region (the paper's table keeps
+    singles for the same reason).
+    """
+    if len(sample) > _SAMPLE_BYTES:
+        # spread slices across the input instead of taking its head — a
+        # sorted column's head is wildly unrepresentative of its tail
+        n_slices = 64
+        slice_len = _SAMPLE_BYTES // n_slices
+        step = len(sample) // n_slices
+        sample = b"".join(
+            sample[i * step : i * step + slice_len] for i in range(n_slices)
+        )
+    if not sample:
+        return []
+    singles = [bytes([b]) for b in sorted(set(sample))]
+    symbols: list[bytes] = list(singles)
+    for _ in range(_GENERATIONS):
+        counts: dict[bytes, int] = {}
+        # greedy-encode the sample with the current table, counting emitted
+        # symbols and adjacent concatenations
+        table = {s: True for s in symbols}
+        pos = 0
+        prev: bytes | None = None
+        n = len(sample)
+        while pos < n:
+            match = None
+            for ln in range(min(MAX_SYMBOL_LEN, n - pos), 0, -1):
+                cand = sample[pos : pos + ln]
+                if cand in table:
+                    match = cand
+                    break
+            if match is None:
+                match = sample[pos : pos + 1]
+            counts[match] = counts.get(match, 0) + 1
+            if prev is not None:
+                merged = (prev + match)[:MAX_SYMBOL_LEN]
+                if len(merged) > len(prev):
+                    counts[merged] = counts.get(merged, 0) + 1
+            prev = match
+            pos += len(match)
+        # apparent gain: frequency × (length - 1 code byte); singles are
+        # kept unconditionally below
+        def gain(item: tuple[bytes, int]) -> int:
+            s, c = item
+            return c * (len(s) - 1)
+
+        multi = [(s, c) for s, c in counts.items() if len(s) > 1]
+        multi.sort(key=gain, reverse=True)
+        slots = MAX_SYMBOLS - len(singles)
+        symbols = singles + [s for s, _ in multi[:slots]]
+    # deterministic order for the table (stable across runs)
+    symbols.sort()
+    return symbols[:MAX_SYMBOLS]
+
+
+# ---------------------------------------------------------------------------
+# vectorized column encode/decode
+# ---------------------------------------------------------------------------
+
+def _byte_matrix(offsets: np.ndarray, data: bytes, extra: int) -> tuple[np.ndarray, np.ndarray]:
+    n = offsets.size - 1
+    lens = np.diff(offsets).astype(np.int64)
+    maxlen = int(lens.max()) if n else 0
+    mat = np.zeros((n, maxlen + extra), dtype=np.uint8)
+    if maxlen:
+        raw = np.frombuffer(data, dtype=np.uint8)
+        col = np.arange(maxlen)
+        valid = col < lens[:, None]
+        mat[:, :maxlen][valid] = raw[(offsets[:-1, None] + col)[valid]]
+    return mat, lens
+
+
+def _symbol_keys(symbols: list[bytes]) -> tuple[dict[int, tuple[np.ndarray, np.ndarray]], np.ndarray, np.ndarray, bytes]:
+    """Group symbols by length into (sorted big-endian uint64 keys, codes)."""
+    by_len: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    sym_lens = np.zeros(len(symbols), dtype=np.int64)
+    tmp: dict[int, list[tuple[int, int]]] = {}
+    for code, s in enumerate(symbols):
+        sym_lens[code] = len(s)
+        key = int.from_bytes(s.ljust(8, b"\0"), "big")
+        tmp.setdefault(len(s), []).append((key, code))
+    for ln, pairs in tmp.items():
+        pairs.sort()
+        keys = np.array([k for k, _ in pairs], dtype=np.uint64)
+        codes = np.array([c for _, c in pairs], dtype=np.int64)
+        by_len[ln] = (keys, codes)
+    sym_offsets = np.zeros(len(symbols) + 1, dtype=np.int64)
+    np.cumsum(sym_lens, out=sym_offsets[1:])
+    sym_data = b"".join(symbols)
+    return by_len, sym_lens, sym_offsets, sym_data
+
+
+def fsst_encode(offsets: np.ndarray, data: bytes, symbols: list[bytes] | None = None) -> bytes:
+    n = offsets.size - 1
+    if symbols is None:
+        symbols = train_symbols(bytes(data))
+    if n == 0:
+        head0 = bytearray()
+        write_uvarint(head0, len(symbols))
+        for s in symbols:
+            head0.append(len(s))
+            head0 += s
+        head0 += delta_bp_encode(np.zeros(0, dtype=np.int32), width=32)
+        return bytes(head0)
+    by_len, _, _, _ = _symbol_keys(symbols)
+
+    mat, lens = _byte_matrix(offsets, data, MAX_SYMBOL_LEN)
+    # worst case every byte escapes -> 2 bytes out per byte in
+    maxout = 2 * (int(lens.max()) if n else 0)
+    out = np.zeros((n, max(maxout, 1)), dtype=np.uint8)
+    pos = np.zeros(n, dtype=np.int64)
+    opos = np.zeros(n, dtype=np.int64)
+    rows = np.arange(n, dtype=np.int64)
+    win_shift = (np.arange(8, dtype=np.uint64))[::-1] * np.uint64(8)
+
+    active = pos < lens
+    while active.any():
+        idx = rows[active]
+        p = pos[idx]
+        # big-endian uint64 of the next 8 bytes
+        win = mat[idx[:, None], p[:, None] + np.arange(8)]
+        keys = (win.astype(np.uint64) << win_shift).sum(axis=1, dtype=np.uint64)
+        remaining = lens[idx] - p
+        best_len = np.zeros(idx.size, dtype=np.int64)
+        best_code = np.zeros(idx.size, dtype=np.int64)
+        for ln in sorted(by_len.keys(), reverse=True):
+            skeys, scodes = by_len[ln]
+            if ln < 8:
+                mask_np = np.uint64(~((1 << (8 * (8 - ln))) - 1) & ((1 << 64) - 1))
+                k = keys & mask_np
+            else:
+                k = keys
+            j = np.searchsorted(skeys, k)
+            found = (j < skeys.size) & (remaining >= ln) & (best_len == 0)
+            jj = np.minimum(j, skeys.size - 1)
+            found &= skeys[jj] == k
+            best_len[found] = ln
+            best_code[found] = scodes[jj[found]]
+        matched = best_len > 0
+        # matched: one code byte
+        mi = idx[matched]
+        out[mi, opos[mi]] = best_code[matched]
+        opos[mi] += 1
+        pos[mi] += best_len[matched]
+        # unmatched: escape + literal
+        ui = idx[~matched]
+        out[ui, opos[ui]] = ESCAPE
+        out[ui, opos[ui] + 1] = mat[ui, pos[ui]]
+        opos[ui] += 2
+        pos[ui] += 1
+        active = pos < lens
+
+    enc_lens = opos
+    total = int(enc_lens.sum())
+    if total:
+        gather = np.repeat(rows * out.shape[1], enc_lens) + _ramp(enc_lens)
+        enc_data = out.reshape(-1)[gather].tobytes()
+    else:
+        enc_data = b""
+
+    head = bytearray()
+    write_uvarint(head, len(symbols))
+    for s in symbols:
+        head.append(len(s))
+        head += s
+    head += delta_bp_encode(enc_lens.astype(np.int32), width=32)
+    return bytes(head) + enc_data
+
+
+def fsst_decode(buf: bytes | memoryview, n: int) -> tuple[np.ndarray, bytes]:
+    buf = bytes(buf)
+    n_sym, pos = read_uvarint(buf, 0)
+    if n_sym > MAX_SYMBOLS:
+        raise ValueError(f"too many FSST symbols: {n_sym}")
+    symbols: list[bytes] = []
+    for _ in range(n_sym):
+        if pos >= len(buf):
+            raise EOFError("truncated FSST symbol table")
+        ln = buf[pos]
+        pos += 1
+        if ln == 0 or ln > MAX_SYMBOL_LEN:
+            raise ValueError(f"invalid FSST symbol length {ln}")
+        if pos + ln > len(buf):
+            raise EOFError("truncated FSST symbol")
+        symbols.append(buf[pos : pos + ln])
+        pos += ln
+    enc_lens, consumed = delta_bp_decode(buf[pos:], width=32)
+    pos += consumed
+    if enc_lens.size != n:
+        raise ValueError("FSST length stream mismatch")
+    enc_lens = enc_lens.astype(np.int64)
+    total = int(enc_lens.sum())
+    if pos + total > len(buf):
+        raise EOFError("truncated FSST payload")
+
+    enc_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(enc_lens, out=enc_offsets[1:])
+    mat, lens = _byte_matrix(enc_offsets, buf[pos : pos + total], 1)
+
+    _, sym_lens, sym_offsets, sym_data = _symbol_keys(symbols)
+    sym_raw = np.frombuffer(sym_data, dtype=np.uint8)
+
+    # pass 1: decoded length per string (lock-step)
+    p = np.zeros(n, dtype=np.int64)
+    dlen = np.zeros(n, dtype=np.int64)
+    rows = np.arange(n, dtype=np.int64)
+    while True:
+        active = p < lens
+        if not active.any():
+            break
+        idx = rows[active]
+        b = mat[idx, p[idx]]
+        esc = b == ESCAPE
+        code = b[~esc].astype(np.int64)
+        if code.size and code.max() >= n_sym:
+            raise ValueError("invalid FSST code")
+        dlen[idx[~esc]] += sym_lens[code]
+        p[idx[~esc]] += 1
+        dlen[idx[esc]] += 1
+        p[idx[esc]] += 2
+        if (p[idx[esc]] > lens[idx[esc]]).any():
+            raise EOFError("dangling FSST escape")
+
+    out_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(dlen, out=out_offsets[1:])
+    out = np.zeros(int(out_offsets[-1]), dtype=np.uint8)
+
+    # pass 2: write
+    p = np.zeros(n, dtype=np.int64)
+    w = out_offsets[:-1].copy()
+    while True:
+        active = p < lens
+        if not active.any():
+            break
+        idx = rows[active]
+        b = mat[idx, p[idx]]
+        esc = b == ESCAPE
+        # escapes: single literal byte
+        ei = idx[esc]
+        out[w[ei]] = mat[ei, p[ei] + 1]
+        w[ei] += 1
+        p[ei] += 2
+        # symbols: variable-length copy via ramp gather
+        si = idx[~esc]
+        codes = b[~esc].astype(np.int64)
+        sl = sym_lens[codes]
+        if sl.size:
+            dst = np.repeat(w[si], sl) + _ramp(sl)
+            src = np.repeat(sym_offsets[codes], sl) + _ramp(sl)
+            out[dst] = sym_raw[src]
+            w[si] += sl
+            p[si] += 1
+    return out_offsets, out.tobytes()
+
+
+def fsst_encoded_size_estimate(
+    offsets: np.ndarray, data: bytes, sample_rows: int = 512
+) -> tuple[int, list[bytes]]:
+    """(estimated size for the full column, trained symbols) from a sample."""
+    n = offsets.size - 1
+    if n == 0:
+        return 0, []
+    step = max(1, n // sample_rows)
+    sel = np.arange(0, n, step)
+    lens = np.diff(offsets)
+    sample_bytes = b"".join(
+        bytes(data[offsets[i] : offsets[i + 1]]) for i in sel[:sample_rows]
+    )
+    symbols = train_symbols(sample_bytes)
+    sub_off = np.zeros(sel.size + 1, dtype=np.int64)
+    np.cumsum(lens[sel], out=sub_off[1:])
+    sub_data = b"".join(bytes(data[offsets[i] : offsets[i + 1]]) for i in sel)
+    enc = fsst_encode(sub_off, sub_data, symbols)
+    ratio = len(enc) / max(1, len(sub_data))
+    return int(ratio * len(data)) + 64, symbols
