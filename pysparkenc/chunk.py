@@ -1,0 +1,253 @@
+"""Chunk framing: one encoded column of one partition batch.
+
+Mirrors the reference's page/chunk/footer layering (``layout/chunk.go``,
+``file-reader.go:193-253``) in table form: instead of thrift footers inside
+a file, every chunk is a row ``(part_id, chunk_id, col, codec, dtype,
+n_rows, n_values, …stats…, data, aux)`` and the "footer" is simply the
+non-binary projection of the chunk table — queryable with plain SQL and
+prunable by Spark/Iceberg partition statistics.
+
+``encode_column``/``decode_column`` are pure (numpy in, dict/numpy out) so
+they unit-test without Spark; the engine feeds them from Arrow batches.
+"""
+
+from __future__ import annotations
+
+import json
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+
+from .kernels.bytearray import (
+    delta_ba_decode,
+    delta_ba_encode,
+    delta_length_decode,
+    delta_length_encode,
+)
+from .kernels.delta import delta_bp_decode, delta_bp_encode
+from .kernels.dictenc import (
+    dict_decode_codes,
+    dict_encode_codes,
+    dict_page_decode_bytes,
+    dict_page_decode_numeric,
+    dict_page_encode_bytes,
+    dict_page_encode_numeric,
+    factorize_bytes,
+    factorize_numeric,
+)
+from .kernels.fsst import fsst_decode, fsst_encode
+from .kernels.plain import (
+    plain_decode_bool,
+    plain_decode_bytes,
+    plain_decode_numeric,
+    plain_encode_bool,
+    plain_encode_bytes,
+    plain_encode_numeric,
+)
+from .kernels.rle import (
+    hybrid_decode_with_size,
+    hybrid_encode_with_size,
+)
+from .selector import Choice, select_bool, select_bytes, select_numeric
+
+_ITEM = {"int32": 4, "int64": 8, "float32": 4, "float64": 8}
+
+
+@dataclass
+class EncodedChunk:
+    col: str
+    codec: str
+    dtype: str
+    n_values: int
+    null_count: int
+    n_unique: int
+    bit_width: int
+    plain_bytes: int
+    enc_bytes: int
+    num_min: float | None
+    num_max: float | None
+    crc32: int
+    extra: str
+    data: bytes
+    aux: bytes
+
+
+def _stats_numeric(values: np.ndarray) -> tuple[float | None, float | None]:
+    if values.size == 0:
+        return None, None
+    return float(values.min()), float(values.max())
+
+
+def encode_numeric(
+    col: str, values: np.ndarray, dtype: str, codec: str | None = None
+) -> EncodedChunk:
+    n = values.size
+    choice: Choice | None = None
+    if codec is None:
+        if dtype in ("int32", "int64"):
+            choice = select_numeric(values, dtype)
+        else:
+            choice = select_numeric(values, dtype)
+        codec = choice.codec
+    plain_bytes = n * _ITEM[dtype]
+    aux = b""
+    extra: dict = {}
+    n_unique = -1
+    bit_width = 0
+
+    if codec == "plain":
+        data = plain_encode_numeric(values, dtype)
+    elif codec == "delta_bp":
+        width = 32 if dtype == "int32" else 64
+        data = delta_bp_encode(values, width=width)
+    elif codec == "dict_rle":
+        codes, uniques = factorize_numeric(values)
+        n_unique = uniques.size
+        aux = dict_page_encode_numeric(uniques, dtype)
+        data = dict_encode_codes(codes, n_unique)
+        bit_width = data[0]
+    elif codec == "for_rle":
+        vmin = int(values.min()) if n else 0
+        shifted = values.astype(np.int64) - vmin
+        bit_width = int(shifted.max()).bit_length() if n else 0
+        data = hybrid_encode_with_size(shifted, bit_width)
+        extra["for_offset"] = vmin
+    else:
+        raise ValueError(f"unknown numeric codec {codec}")
+
+    vmin_f, vmax_f = _stats_numeric(values)
+    return EncodedChunk(
+        col=col, codec=codec, dtype=dtype, n_values=n, null_count=0,
+        n_unique=n_unique, bit_width=bit_width, plain_bytes=plain_bytes,
+        enc_bytes=len(data) + len(aux), num_min=vmin_f, num_max=vmax_f,
+        crc32=zlib.crc32(data), extra=json.dumps(extra) if extra else "",
+        data=data, aux=aux,
+    )
+
+
+def encode_bool(col: str, values: np.ndarray, codec: str | None = None) -> EncodedChunk:
+    n = values.size
+    if codec is None:
+        codec = select_bool(values).codec
+    if codec == "bool_plain":
+        data = plain_encode_bool(values)
+    elif codec == "bool_rle":
+        data = hybrid_encode_with_size(values.astype(np.int64), 1)
+    else:
+        raise ValueError(f"unknown boolean codec {codec}")
+    return EncodedChunk(
+        col=col, codec=codec, dtype="bool", n_values=n, null_count=0,
+        n_unique=-1, bit_width=1, plain_bytes=(n + 7) // 8,
+        enc_bytes=len(data), num_min=None, num_max=None,
+        crc32=zlib.crc32(data), extra="", data=data, aux=b"",
+    )
+
+
+def encode_bytes(
+    col: str, offsets: np.ndarray, data_buf: bytes, codec: str | None = None,
+    *, logical: str = "bytes",
+) -> EncodedChunk:
+    n = offsets.size - 1
+    choice: Choice | None = None
+    if codec is None:
+        choice = select_bytes(offsets, data_buf)
+        codec = choice.codec
+    plain_bytes = len(data_buf) + 4 * n
+    aux = b""
+    n_unique = -1
+
+    if codec == "ba_plain":
+        data = plain_encode_bytes(offsets, data_buf)
+    elif codec == "ba_delta_len":
+        data = delta_length_encode(offsets, data_buf)
+    elif codec == "ba_delta":
+        data = delta_ba_encode(offsets, data_buf)
+    elif codec == "dict_rle":
+        codes, d_off, d_data = factorize_bytes(offsets, data_buf)
+        n_unique = d_off.size - 1
+        aux = dict_page_encode_bytes(d_off, d_data)
+        data = dict_encode_codes(codes, n_unique)
+    elif codec == "fsst":
+        symbols = choice.fsst_symbols if choice else None
+        data = fsst_encode(offsets, data_buf, symbols)
+    else:
+        raise ValueError(f"unknown byte-array codec {codec}")
+
+    return EncodedChunk(
+        col=col, codec=codec, dtype=logical, n_values=n, null_count=0,
+        n_unique=n_unique, bit_width=0, plain_bytes=plain_bytes,
+        enc_bytes=len(data) + len(aux), num_min=None, num_max=None,
+        crc32=zlib.crc32(data), extra="", data=data, aux=aux,
+    )
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+def decode_numeric(chunk: dict) -> np.ndarray:
+    codec, dtype, n = chunk["codec"], chunk["dtype"], int(chunk["n_values"])
+    data = chunk["data"]
+    if chunk.get("crc32") is not None and zlib.crc32(data) != chunk["crc32"]:
+        raise ValueError(f"chunk {chunk.get('col')}: crc32 mismatch")
+    if codec == "plain":
+        return plain_decode_numeric(data, dtype, n)
+    if codec == "delta_bp":
+        width = 32 if dtype == "int32" else 64
+        vals, _ = delta_bp_decode(data, width=width)
+        if vals.size != n:
+            raise ValueError("delta stream count mismatch")
+        return vals
+    if codec == "dict_rle":
+        n_unique = int(chunk["n_unique"])
+        uniques = dict_page_decode_numeric(chunk["aux"], dtype, n_unique)
+        codes = dict_decode_codes(data, n, n_unique)
+        return uniques[codes]
+    if codec == "for_rle":
+        extra = json.loads(chunk["extra"]) if chunk["extra"] else {}
+        offset = int(extra.get("for_offset", 0))
+        bw = int(chunk["bit_width"])
+        shifted, _ = hybrid_decode_with_size(data, bw, n)
+        out = shifted.astype(np.int64) + offset
+        return out.astype(np.int32 if dtype == "int32" else np.int64)
+    raise ValueError(f"unknown numeric codec {codec}")
+
+
+def decode_bool(chunk: dict) -> np.ndarray:
+    codec, n = chunk["codec"], int(chunk["n_values"])
+    data = chunk["data"]
+    if codec == "bool_plain":
+        return plain_decode_bool(data, n)
+    if codec == "bool_rle":
+        vals, _ = hybrid_decode_with_size(data, 1, n)
+        return vals.astype(bool)
+    raise ValueError(f"unknown boolean codec {codec}")
+
+
+def decode_bytes(chunk: dict) -> tuple[np.ndarray, bytes]:
+    codec, n = chunk["codec"], int(chunk["n_values"])
+    data = chunk["data"]
+    if chunk.get("crc32") is not None and zlib.crc32(data) != chunk["crc32"]:
+        raise ValueError(f"chunk {chunk.get('col')}: crc32 mismatch")
+    if codec == "ba_plain":
+        return plain_decode_bytes(data, n)
+    if codec == "ba_delta_len":
+        return delta_length_decode(data, n)
+    if codec == "ba_delta":
+        return delta_ba_decode(data, n)
+    if codec == "dict_rle":
+        n_unique = int(chunk["n_unique"])
+        d_off, d_data = dict_page_decode_bytes(chunk["aux"], n_unique)
+        codes = dict_decode_codes(data, n, n_unique)
+        lens = np.diff(d_off)[codes]
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        raw = np.frombuffer(d_data, dtype=np.uint8)
+        from .kernels.plain import _ramp
+
+        idx = np.repeat(d_off[codes], lens) + _ramp(lens)
+        return offsets, raw[idx].tobytes()
+    if codec == "fsst":
+        return fsst_decode(data, n)
+    raise ValueError(f"unknown byte-array codec {codec}")

@@ -1,0 +1,452 @@
+"""encode_table / decode_table — the engine's public DataFrame API.
+
+Replaces the reference's (unimplemented) file-writer lifecycle
+(``/root/reference/layout/page.go:23-27``, ``schema/schema.go:43-50``) with
+the Spark-idiomatic pipeline from SURVEY.md §3:
+
+    df --[skew-aware salted partitioning]--> repartition(part_id)
+       --[mapInArrow, one Arrow batch = one chunk group]--> chunk rows
+
+- Arrow batches arrive zero-copy: a ``tokens: array<int32>`` column is
+  already the flat-values + offsets layout the kernels want (the Dremel
+  rep/def levels of the reference collapse to list offsets for this schema,
+  SURVEY.md §1.4), so there is **no per-row Python anywhere**.
+- Each input batch (bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``)
+  becomes one *chunk group*: one output row per column per group keyed by
+  ``(part_id, chunk_id)``. Executor memory is bounded by the batch size, not
+  the partition size — the scale lever for 10^12-sequence tables.
+- Skew: ``plan_partitions`` gives every distinct value of the leading
+  partition key a contiguous bucket range sized proportionally to its row
+  count (a tiny aggregate + broadcast join), then salts within the range by
+  hashing the secondary key. Hot sources spread over many partitions;
+  every partition stays single-source, which keeps chunks homogeneous and
+  dictionary/RLE-friendly.
+- decode_table groups the chunk rows back with ``applyInArrow`` and emits
+  the original schema; round-trip is bit-identical (token-array equality
+  per row — the BASELINE.json invariant).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterable, Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from . import chunk as chunklib
+
+CHUNK_SCHEMA = StructType(
+    [
+        StructField("part_id", LongType(), False),
+        StructField("chunk_id", LongType(), False),
+        StructField("group_key", StringType(), True),
+        StructField("col", StringType(), False),
+        StructField("col_idx", IntegerType(), False),
+        StructField("logical", StringType(), False),
+        StructField("codec", StringType(), False),
+        StructField("dtype", StringType(), False),
+        StructField("n_rows", LongType(), False),
+        StructField("n_values", LongType(), False),
+        StructField("null_count", LongType(), False),
+        StructField("n_unique", LongType(), False),
+        StructField("bit_width", IntegerType(), False),
+        StructField("plain_bytes", LongType(), False),
+        StructField("enc_bytes", LongType(), False),
+        StructField("num_min", DoubleType(), True),
+        StructField("num_max", DoubleType(), True),
+        StructField("crc32", LongType(), False),
+        StructField("extra", StringType(), True),
+        StructField("data", BinaryType(), False),
+        StructField("aux", BinaryType(), True),
+    ]
+)
+
+_CHUNK_PA_SCHEMA = pa.schema(
+    [
+        ("part_id", pa.int64()),
+        ("chunk_id", pa.int64()),
+        ("group_key", pa.string()),
+        ("col", pa.string()),
+        ("col_idx", pa.int32()),
+        ("logical", pa.string()),
+        ("codec", pa.string()),
+        ("dtype", pa.string()),
+        ("n_rows", pa.int64()),
+        ("n_values", pa.int64()),
+        ("null_count", pa.int64()),
+        ("n_unique", pa.int64()),
+        ("bit_width", pa.int32()),
+        ("plain_bytes", pa.int64()),
+        ("enc_bytes", pa.int64()),
+        ("num_min", pa.float64()),
+        ("num_max", pa.float64()),
+        ("crc32", pa.int64()),
+        ("extra", pa.string()),
+        ("data", pa.binary()),
+        ("aux", pa.binary()),
+    ]
+)
+
+
+def _logical_of(field) -> str:
+    dt = field.dataType
+    if isinstance(dt, IntegerType):
+        return "int32"
+    if isinstance(dt, LongType):
+        return "int64"
+    if isinstance(dt, FloatType):
+        return "float32"
+    if isinstance(dt, DoubleType):
+        return "float64"
+    if isinstance(dt, BooleanType):
+        return "bool"
+    if isinstance(dt, StringType):
+        return "string"
+    if isinstance(dt, BinaryType):
+        return "binary"
+    if isinstance(dt, TimestampType):
+        return "timestamp_us"
+    if isinstance(dt, ArrayType) and isinstance(dt.elementType, IntegerType):
+        return "list<int32>"
+    if isinstance(dt, ArrayType) and isinstance(dt.elementType, LongType):
+        return "list<int64>"
+    raise TypeError(f"unsupported column type for encoding: {field.name}: {dt}")
+
+
+# ---------------------------------------------------------------------------
+# skew-aware partition planning (north_rule: salted/range partitioning)
+# ---------------------------------------------------------------------------
+
+def plan_partitions(
+    df: DataFrame,
+    partition_by: tuple[str, ...],
+    num_partitions: int,
+) -> DataFrame:
+    """Assign ``part_id``: contiguous bucket ranges per leading-key value,
+    sized by row count, salted within the range by the remaining keys."""
+    key0 = partition_by[0]
+    salt_keys = list(partition_by[1:]) or [key0]
+    counts = df.groupBy(key0).count().orderBy(key0).collect()
+    if len(counts) > 100_000:
+        raise ValueError(
+            f"partition key {key0} has {len(counts)} distinct values; "
+            "use a coarser leading key or partition_by=None (pure hash)"
+        )
+    total = sum(r["count"] for r in counts) or 1
+    plan_rows = []
+    offset = 0
+    for r in counts:
+        buckets = max(1, round(num_partitions * r["count"] / total))
+        plan_rows.append((r[key0], offset, buckets))
+        offset += buckets
+    spark = df.sparkSession
+    plan_schema = StructType(
+        [
+            df.schema[key0],
+            StructField("__offset", IntegerType(), False),
+            StructField("__buckets", IntegerType(), False),
+        ]
+    )
+    plan = spark.createDataFrame(plan_rows, schema=plan_schema)
+    salted = F.pmod(
+        F.abs(F.xxhash64(*[F.col(c) for c in salt_keys])), F.col("__buckets")
+    )
+    return (
+        df.join(F.broadcast(plan), key0)
+        .withColumn("part_id", (F.col("__offset") + salted).cast("long"))
+        .drop("__offset", "__buckets")
+    )
+
+
+# ---------------------------------------------------------------------------
+# encode
+# ---------------------------------------------------------------------------
+
+def _encode_arrow_batch(
+    batch: pa.RecordBatch,
+    cols: list[tuple[str, int, str]],
+    part_id: int,
+    chunk_id: int,
+    group_key: str | None,
+    codec_for: dict[str, str],
+) -> pa.RecordBatch:
+    n_rows = batch.num_rows
+    out_rows: list[dict] = []
+    for name, idx, logical in cols:
+        arr = batch.column(batch.schema.get_field_index(name))
+        if arr.null_count:
+            raise ValueError(f"column {name}: nulls not supported (input_hint)")
+        codec = codec_for.get(name)
+        extra_fields: dict = {}
+        if logical.startswith("list<"):
+            child_logical = logical[5:-1]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            la = arr
+            offsets = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            values = la.values.to_numpy(zero_copy_only=False)
+            # slice the flat child to this batch's window
+            values = values[offsets[0] : offsets[-1]]
+            lengths = np.diff(offsets).astype(np.int32)
+            ck = chunklib.encode_numeric(name, values, child_logical, codec)
+            lk = chunklib.encode_numeric(f"{name}#len", lengths, "int32",
+                                         codec_for.get(f"{name}#len"))
+            for c, lg in ((ck, logical), (lk, "int32")):
+                out_rows.append(_chunk_row(c, part_id, chunk_id, group_key,
+                                           idx, lg, n_rows))
+        elif logical in ("int32", "int64", "float32", "float64", "timestamp_us"):
+            phys = "int64" if logical == "timestamp_us" else logical
+            if logical == "timestamp_us":
+                values = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            else:
+                values = arr.to_numpy(zero_copy_only=False)
+            ck = chunklib.encode_numeric(name, values, phys, codec)
+            out_rows.append(_chunk_row(ck, part_id, chunk_id, group_key, idx,
+                                       logical, n_rows))
+        elif logical == "bool":
+            values = arr.to_numpy(zero_copy_only=False)
+            ck = chunklib.encode_bool(name, values, codec)
+            out_rows.append(_chunk_row(ck, part_id, chunk_id, group_key, idx,
+                                       logical, n_rows))
+        elif logical in ("string", "binary"):
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            ba = arr.cast(pa.large_binary())
+            bufs = ba.buffers()
+            offsets = np.frombuffer(
+                bufs[1], dtype=np.int64, count=len(ba) + 1, offset=ba.offset * 8
+            ).astype(np.int64)
+            if bufs[2] is not None:
+                data_buf = bytes(
+                    memoryview(bufs[2])[offsets[0] : offsets[-1]]
+                )
+            else:
+                data_buf = b""
+            offsets = offsets - offsets[0]
+            ck = chunklib.encode_bytes(name, offsets, data_buf, codec)
+            out_rows.append(_chunk_row(ck, part_id, chunk_id, group_key, idx,
+                                       logical, n_rows))
+        else:
+            raise TypeError(f"unsupported logical type {logical}")
+    cols_data = {
+        k: [r[k] for r in out_rows] for k in _CHUNK_PA_SCHEMA.names
+    }
+    return pa.RecordBatch.from_pydict(cols_data, schema=_CHUNK_PA_SCHEMA)
+
+
+def _chunk_row(
+    ck: chunklib.EncodedChunk,
+    part_id: int,
+    chunk_id: int,
+    group_key: str | None,
+    col_idx: int,
+    logical: str,
+    n_rows: int,
+) -> dict:
+    return {
+        "part_id": part_id,
+        "chunk_id": chunk_id,
+        "group_key": group_key,
+        "col": ck.col,
+        "col_idx": col_idx,
+        "logical": logical,
+        "codec": ck.codec,
+        "dtype": ck.dtype,
+        "n_rows": n_rows,
+        "n_values": ck.n_values,
+        "null_count": ck.null_count,
+        "n_unique": ck.n_unique,
+        "bit_width": ck.bit_width,
+        "plain_bytes": ck.plain_bytes,
+        "enc_bytes": ck.enc_bytes,
+        "num_min": ck.num_min,
+        "num_max": ck.num_max,
+        "crc32": ck.crc32,
+        "extra": ck.extra,
+        "data": ck.data,
+        "aux": ck.aux,
+    }
+
+
+def encode_table(
+    df: DataFrame,
+    *,
+    partition_by: tuple[str, ...] | None = None,
+    num_partitions: int | None = None,
+    codec: str | dict[str, str] | None = None,
+    group_key_col: str | None = None,
+) -> DataFrame:
+    """Encode every column of ``df`` into chunk rows (CHUNK_SCHEMA).
+
+    ``codec``: None = auto-select per chunk (SURVEY.md §7.3); a string
+    forces one codec for every column; a dict maps column -> codec.
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism * 2
+
+    data_fields = df.schema.fields
+    cols = [(f.name, i, _logical_of(f)) for i, f in enumerate(data_fields)]
+    col_names = [c[0] for c in cols]
+    if isinstance(codec, str):
+        codec_for = {name: codec for name in col_names}
+        for name, _, logical in cols:
+            if logical.startswith("list<"):
+                codec_for[f"{name}#len"] = None  # auto for lengths
+        codec_for = {k: v for k, v in codec_for.items() if v is not None}
+    else:
+        codec_for = dict(codec or {})
+
+    if group_key_col is None and partition_by:
+        group_key_col = partition_by[0]
+
+    if partition_by:
+        planned = plan_partitions(df, partition_by, num_partitions)
+        shuffled = planned.repartition(num_partitions, "part_id")
+    else:
+        shuffled = df.withColumn(
+            "part_id",
+            F.pmod(F.abs(F.xxhash64(*[F.col(c) for c in col_names])),
+                   F.lit(num_partitions)).cast("long"),
+        ).repartition(num_partitions, "part_id")
+
+    gk_col = group_key_col
+
+    def encode_iter(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        for seq, batch in enumerate(batches):
+            if batch.num_rows == 0:
+                continue
+            gk = None
+            if gk_col is not None and gk_col in batch.schema.names:
+                gk = str(
+                    batch.column(batch.schema.get_field_index(gk_col))[0]
+                )
+            yield _encode_arrow_batch(batch, cols, pid, seq, gk, codec_for)
+
+    return shuffled.mapInArrow(encode_iter, CHUNK_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+def _arrow_type_of(logical: str) -> pa.DataType:
+    return {
+        "int32": pa.int32(),
+        "int64": pa.int64(),
+        "float32": pa.float32(),
+        "float64": pa.float64(),
+        "bool": pa.bool_(),
+        "string": pa.string(),
+        "binary": pa.binary(),
+        "timestamp_us": pa.timestamp("us"),
+        "list<int32>": pa.list_(pa.int32()),
+        "list<int64>": pa.list_(pa.int64()),
+    }[logical]
+
+
+def _spark_type_of(logical: str):
+    return {
+        "int32": IntegerType(),
+        "int64": LongType(),
+        "float32": FloatType(),
+        "float64": DoubleType(),
+        "bool": BooleanType(),
+        "string": StringType(),
+        "binary": BinaryType(),
+        "timestamp_us": TimestampType(),
+        "list<int32>": ArrayType(IntegerType()),
+        "list<int64>": ArrayType(LongType()),
+    }[logical]
+
+
+def output_schema_of_chunks(chunks_df: DataFrame) -> StructType:
+    """Recover the original table schema from chunk metadata."""
+    meta = (
+        chunks_df.select("col", "col_idx", "logical")
+        .where(~F.col("col").endswith("#len"))
+        .distinct()
+        .orderBy("col_idx")
+        .collect()
+    )
+    return StructType(
+        [StructField(r["col"], _spark_type_of(r["logical"]), False) for r in meta]
+    )
+
+
+def decode_table(chunks_df: DataFrame, schema: StructType | None = None) -> DataFrame:
+    """Inverse of :func:`encode_table`: chunk rows -> original rows."""
+    if schema is None:
+        schema = output_schema_of_chunks(chunks_df)
+    logicals = {f.name: _logical_of(f) for f in schema.fields}
+    names = [f.name for f in schema.fields]
+    out_pa_schema = pa.schema(
+        [(n, _arrow_type_of(logicals[n])) for n in names]
+    )
+
+    def decode_group(table: pa.Table) -> pa.Table:
+        rows = table.to_pylist()
+        by_col = {r["col"]: r for r in rows}
+        arrays = []
+        for name in names:
+            logical = logicals[name]
+            ck = by_col[name]
+            if logical.startswith("list<"):
+                child = logical[5:-1]
+                values = chunklib.decode_numeric(
+                    {**ck, "dtype": child}
+                )
+                lk = by_col[f"{name}#len"]
+                lengths = chunklib.decode_numeric({**lk, "dtype": "int32"})
+                offsets = np.zeros(lengths.size + 1, dtype=np.int32)
+                np.cumsum(lengths, out=offsets[1:])
+                arrays.append(
+                    pa.ListArray.from_arrays(
+                        pa.array(offsets, type=pa.int32()),
+                        pa.array(values, type=_arrow_type_of(child)),
+                    )
+                )
+            elif logical in ("int32", "int64", "float32", "float64", "timestamp_us"):
+                phys = "int64" if logical == "timestamp_us" else logical
+                vals = chunklib.decode_numeric({**ck, "dtype": phys})
+                arrays.append(pa.array(vals).cast(_arrow_type_of(logical)))
+            elif logical == "bool":
+                arrays.append(pa.array(chunklib.decode_bool(ck)))
+            else:
+                offsets, data = chunklib.decode_bytes(ck)
+                ba = pa.LargeBinaryArray.from_buffers(
+                    pa.large_binary(),
+                    offsets.size - 1,
+                    [None, pa.py_buffer(offsets.astype(np.int64)), pa.py_buffer(data)],
+                )
+                arrays.append(ba.cast(_arrow_type_of(logical)))
+        return pa.Table.from_arrays(arrays, schema=out_pa_schema)
+
+    return chunks_df.groupBy("part_id", "chunk_id").applyInArrow(
+        lambda t: decode_group(t), schema
+    )
+
+
+def footer(chunks_df: DataFrame) -> DataFrame:
+    """Footer-style metadata view: every chunk's stats, no payload bytes
+    (the queryable analogue of the reference's thrift FileMetaData,
+    file-reader.go:193-253)."""
+    return chunks_df.drop("data", "aux")

@@ -1,0 +1,128 @@
+"""Full-table round-trip through the Spark engine (SURVEY.md §5's "gap in
+reference" row): encode -> chunk rows + footer metadata -> decode -> per-row
+token-array equality, the BASELINE.json invariant."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pysparkenc.engine import decode_table, encode_table, footer
+from pysparkenc.synth import make_tokens_table
+
+N_ROWS = 3000
+
+
+@pytest.fixture(scope="module")
+def tokens_df(spark):
+    df = make_tokens_table(spark, N_ROWS, seed=42).cache()
+    df.count()
+    return df
+
+
+def _assert_same_table(df_a, df_b, key="doc_id"):
+    a = {r[key]: r for r in df_a.collect()}
+    b = {r[key]: r for r in df_b.collect()}
+    assert set(a) == set(b)
+    for k, ra in a.items():
+        rb = b[k]
+        assert ra["source"] == rb["source"], k
+        assert ra["n_tok"] == rb["n_tok"], k
+        assert ra["tokens"] == rb["tokens"], k  # bit-identical token arrays
+
+
+def test_encode_decode_roundtrip_auto(spark, tokens_df):
+    chunks = encode_table(
+        tokens_df, partition_by=("source", "doc_id"), num_partitions=8
+    ).cache()
+    n_chunks = chunks.count()
+    assert n_chunks > 0
+    decoded = decode_table(chunks)
+    _assert_same_table(tokens_df, decoded)
+    chunks.unpersist()
+
+
+@pytest.mark.parametrize("codec", ["plain", "delta_bp", "dict_rle", "for_rle"])
+def test_roundtrip_forced_codec_tokens(spark, tokens_df, codec):
+    chunks = encode_table(
+        tokens_df,
+        partition_by=("source", "doc_id"),
+        num_partitions=4,
+        codec={"tokens": codec, "n_tok": codec},
+    )
+    decoded = decode_table(chunks)
+    _assert_same_table(tokens_df, decoded)
+
+
+@pytest.mark.parametrize("codec", ["ba_plain", "ba_delta_len", "ba_delta", "dict_rle", "fsst"])
+def test_roundtrip_forced_codec_strings(spark, tokens_df, codec):
+    df = tokens_df.select("doc_id", "source", "n_tok")
+    chunks = encode_table(
+        df,
+        partition_by=("source", "doc_id"),
+        num_partitions=4,
+        codec={"doc_id": codec, "source": codec},
+    )
+    decoded = decode_table(chunks)
+    a = {r["doc_id"]: r for r in df.collect()}
+    b = {r["doc_id"]: r for r in decoded.collect()}
+    assert set(a) == set(b)
+    assert all(a[k]["source"] == b[k]["source"] for k in a)
+
+
+def test_footer_metadata_consistency(spark, tokens_df):
+    chunks = encode_table(
+        tokens_df, partition_by=("source", "doc_id"), num_partitions=8
+    ).cache()
+    meta = footer(chunks)
+    # metadata row count == chunk row count, no binary columns
+    assert "data" not in meta.columns and "aux" not in meta.columns
+    # per-chunk min/max for n_tok must bracket the true range
+    agg = (
+        meta.where(F.col("col") == "n_tok")
+        .agg(
+            F.min("num_min").alias("lo"),
+            F.max("num_max").alias("hi"),
+            F.sum("n_values").alias("nv"),
+        )
+        .collect()[0]
+    )
+    true = tokens_df.agg(
+        F.min("n_tok").alias("lo"), F.max("n_tok").alias("hi"),
+        F.count("*").alias("n")
+    ).collect()[0]
+    assert agg["lo"] == float(true["lo"]) and agg["hi"] == float(true["hi"])
+    assert agg["nv"] == true["n"]
+    # every partition is single-source (skew plan keeps chunks homogeneous)
+    multi = (
+        meta.where(F.col("col") == "tokens")
+        .groupBy("part_id")
+        .agg(F.countDistinct("group_key").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    assert multi == 0
+    # compression must beat PLAIN overall on this profile mix
+    tot = meta.agg(
+        F.sum("plain_bytes").alias("p"), F.sum("enc_bytes").alias("e")
+    ).collect()[0]
+    assert tot["e"] < tot["p"]
+    chunks.unpersist()
+
+
+def test_skew_plan_balances_partitions(spark, tokens_df):
+    chunks = encode_table(
+        tokens_df, partition_by=("source", "doc_id"), num_partitions=8
+    )
+    sizes = (
+        footer(chunks)
+        .where(F.col("col") == "tokens")
+        .groupBy("part_id")
+        .agg(F.sum("n_values").alias("nv"))
+        .collect()
+    )
+    vals = sorted(r["nv"] for r in sizes)
+    assert len(vals) >= 6  # skewed sources actually spread out
+    # no partition dominates: max <= 6x median
+    median = vals[len(vals) // 2]
+    assert vals[-1] <= 6 * median
