@@ -1,0 +1,241 @@
+"""Deduplication operators for training-data pipelines at 100 TB scale.
+
+Five families, all expressed over the `documents` / `embeddings` tables:
+
+- exact:   md5-groupBy (map-side partial agg, one shuffle on a 128-bit key)
+- MinHash: shingle -> k permuted min-hashes -> banded LSH bucket join
+- SimHash: 31-bit sign-aggregated fingerprint, Hamming-bucket candidates
+- n-gram Jaccard: exact set similarity used to *verify* LSH candidates
+- embedding near-dup: cosine over `array<float>` (see similarity.py)
+
+Scale notes (the design brief, not an afterthought):
+- Shingling/hashing is all built-in `pyspark.sql.functions` — JVM
+  codegen, no Python. A doc never leaves its partition until the LSH
+  band shuffle, whose key count is ``bands × docs`` with tiny values
+  (doc_id + band hash), so shuffle volume ~ O(rows), not O(text).
+- Candidate pairs come from equi-joins on band keys — AQE handles the
+  skewed "empty shingle" buckets; we also drop buckets larger than
+  ``max_bucket`` (a pathological-key guard: a 10^6-doc bucket means a
+  degenerate band, not 10^12 real duplicates).
+- Verification (exact Jaccard) touches only candidate pairs, the output
+  of the LSH prefilter — the O(n^2) stage never materializes.
+
+All hashes derive from :func:`pysparkenc.textops.portable_hash60`, so
+every operator has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .textops import MERSENNE31, portable_hash60, words
+
+# deterministic affine-permutation constants for MinHash: k pairs (a, b)
+# derived from splitmix-style mixing of the permutation index — reproduced
+# verbatim in the DuckDB oracle, so they must be plain literals, not RNG.
+def minhash_params(k: int) -> list[tuple[int, int]]:
+    params = []
+    for i in range(k):
+        z = (i + 1) * 0x9E3779B9
+        a = (z ^ (z >> 16)) % (MERSENNE31 - 1) + 1          # a in [1, p-1]
+        b = ((i + 1) * 0x85EBCA6B ^ 0x1B873593) % MERSENNE31  # b in [0, p-1]
+        params.append((a, b))
+    return params
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined)."""
+    ws = words(text)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
+    )
+    return F.when(F.size(ws) >= n, F.array_distinct(grams)).otherwise(
+        F.array(F.array_join(ws, " "))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: one row per distinct text, keeper = min doc_id.
+
+    One hash-shuffle on md5(text) (128-bit key, not the text itself);
+    partial aggregation runs map-side so only (hash, min, count) rows move.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str = "text", k: int = 8, shingle: int = 3
+) -> DataFrame:
+    """k-wide MinHash signature columns mh0..mh{k-1} per document.
+
+    h_i(s) = (a_i * h31(s) + b_i) mod (2^31-1) — all arithmetic < 2^62,
+    overflow-free in int64 in both Spark and DuckDB.
+    """
+    sh = word_shingles(F.col(text_col), shingle)
+    base = F.transform(sh, lambda s: F.pmod(portable_hash60(s), F.lit(MERSENNE31)))
+    cols = [F.col("doc_id")]
+    for i, (a, b) in enumerate(minhash_params(k)):
+        mh = F.array_min(
+            F.transform(base, lambda h: F.pmod(h * a + b, F.lit(MERSENNE31)))
+        )
+        cols.append(F.coalesce(mh, F.lit(-1)).cast("long").alias(f"mh{i}"))
+    return df.select(*cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    shingle: int = 3,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    k signatures split into ``bands`` bands of k/bands rows; docs sharing
+    any full band land in one bucket; bucket self-join emits ordered pairs
+    (a < b). Pairs may repeat across bands -> distinct. Buckets larger
+    than ``max_bucket`` are dropped (degenerate-band guard).
+    """
+    rows = k // bands
+    sig = minhash_signature(df, text_col, k, shingle)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws(":", *parts).alias("key"))
+        )
+    exploded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    counts = exploded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bucket_n"))
+    pruned = exploded.join(
+        counts.where(F.col("bucket_n") <= max_bucket), ["band", "key"]
+    ).select("doc_id", "band", "key")
+    left = pruned.alias("l")
+    right = pruned.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    text_col: str = "text",
+    shingle: int = 3,
+    threshold: float = 0.0,
+    k: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard on candidate pairs (LSH output by default).
+
+    jaccard_ppm = floor(1e6 * |A∩B| / |A∪B|) — integer, oracle-exact.
+    """
+    if pairs is None:
+        pairs = minhash_lsh_pairs(df, text_col, k=k, bands=bands, shingle=shingle)
+    sh = df.select(
+        "doc_id", word_shingles(F.col(text_col), shingle).alias("sh")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    joined = (
+        pairs.join(a, pairs.doc_a == F.col("a.doc_id"))
+        .join(b, pairs.doc_b == F.col("b.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("a.sh", "b.sh")).alias("n_inter"),
+            F.size(F.array_union("a.sh", "b.sh")).alias("n_union"),
+        )
+    )
+    jac = F.floor(
+        F.lit(1_000_000) * F.col("n_inter") / F.greatest(F.col("n_union"), F.lit(1))
+    ).cast("long")
+    out = joined.select("doc_a", "doc_b", jac.alias("jaccard_ppm"))
+    if threshold > 0:
+        out = out.where(F.col("jaccard_ppm") >= int(threshold * 1_000_000))
+    return out
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 31) -> DataFrame:
+    """SimHash fingerprint: per bit, sign of sum over word-hashes of ±1.
+
+    Weighted by word frequency implicitly (repeated words counted per
+    occurrence). 31 bits so every intermediate fits int64 portably.
+    """
+    ws = words(F.col(text_col))
+    hs = F.transform(ws, lambda w: F.pmod(portable_hash60(w), F.lit(MERSENNE31)))
+    def _vote_merge(b: int):
+        def merge(acc, h):
+            return acc + F.when(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return merge
+
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(hs, F.lit(0).cast("long"), _vote_merge(b))
+        sim = sim + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return df.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_dup_pairs(
+    df: DataFrame, text_col: str = "text", max_hamming: int = 3, bits: int = 31
+) -> DataFrame:
+    """Near-dup candidates: docs whose SimHashes agree on one of 4 bit-bands
+    (pigeonhole: hamming<=3 over 4 bands => at least one band identical),
+    verified by exact Hamming distance <= max_hamming."""
+    sig = simhash(df, text_col, bits)
+    band_width = (bits + 3) // 4
+    bcols = []
+    for b in range(4):
+        bcols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * band_width)
+                .bitwiseAND(F.lit((1 << band_width) - 1))
+                .alias("key"),
+            )
+        )
+    expl = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*bcols)).alias("bk")
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    l, r = expl.alias("l"), expl.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.simhash").alias("sim_a"),
+            F.col("r.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    xor = F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+    ham = F.bit_count(xor)
+    return cand.select("doc_a", "doc_b", ham.cast("long").alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

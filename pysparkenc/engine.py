@@ -46,6 +46,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
 
@@ -122,6 +123,8 @@ def _logical_of(field) -> str:
         return "binary"
     if isinstance(dt, TimestampType):
         return "timestamp_us"
+    if isinstance(dt, TimestampNTZType):
+        return "timestamp_ntz_us"
     if isinstance(dt, ArrayType) and isinstance(dt.elementType, IntegerType):
         return "list<int32>"
     if isinstance(dt, ArrayType) and isinstance(dt.elementType, LongType):
@@ -210,9 +213,10 @@ def _encode_arrow_batch(
             for c, lg in ((ck, logical), (lk, "int32")):
                 out_rows.append(_chunk_row(c, part_id, chunk_id, group_key,
                                            idx, lg, n_rows))
-        elif logical in ("int32", "int64", "float32", "float64", "timestamp_us"):
-            phys = "int64" if logical == "timestamp_us" else logical
-            if logical == "timestamp_us":
+        elif logical in ("int32", "int64", "float32", "float64", "timestamp_us",
+                         "timestamp_ntz_us"):
+            phys = "int64" if logical.startswith("timestamp") else logical
+            if logical.startswith("timestamp"):
                 values = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
             else:
                 values = arr.to_numpy(zero_copy_only=False)
@@ -357,7 +361,8 @@ def _arrow_type_of(logical: str) -> pa.DataType:
         "bool": pa.bool_(),
         "string": pa.string(),
         "binary": pa.binary(),
-        "timestamp_us": pa.timestamp("us"),
+        "timestamp_us": pa.timestamp("us", tz="UTC"),
+        "timestamp_ntz_us": pa.timestamp("us"),
         "list<int32>": pa.list_(pa.int32()),
         "list<int64>": pa.list_(pa.int64()),
     }[logical]
@@ -373,6 +378,7 @@ def _spark_type_of(logical: str):
         "string": StringType(),
         "binary": BinaryType(),
         "timestamp_us": TimestampType(),
+        "timestamp_ntz_us": TimestampNTZType(),
         "list<int32>": ArrayType(IntegerType()),
         "list<int64>": ArrayType(LongType()),
     }[logical]
@@ -424,8 +430,9 @@ def decode_table(chunks_df: DataFrame, schema: StructType | None = None) -> Data
                         pa.array(values, type=_arrow_type_of(child)),
                     )
                 )
-            elif logical in ("int32", "int64", "float32", "float64", "timestamp_us"):
-                phys = "int64" if logical == "timestamp_us" else logical
+            elif logical in ("int32", "int64", "float32", "float64", "timestamp_us",
+                             "timestamp_ntz_us"):
+                phys = "int64" if logical.startswith("timestamp") else logical
                 vals = chunklib.decode_numeric({**ck, "dtype": phys})
                 arrays.append(pa.array(vals).cast(_arrow_type_of(logical)))
             elif logical == "bool":

