@@ -49,9 +49,45 @@ from .kernels.rle import (
     hybrid_decode_with_size,
     hybrid_encode_with_size,
 )
+from . import compress as blockcomp
 from .selector import Choice, select_bool, select_bytes, select_numeric
 
 _ITEM = {"int32": 4, "int64": 8, "float32": 4, "float64": 8}
+
+
+def compress_chunk(ck: "EncodedChunk", compression: str | None) -> "EncodedChunk":
+    """Apply optional block compression (reference's BlockCompressor layer,
+    compression/compressor.go:3-6) on top of the encoded payload. Kept only
+    when it actually shrinks the chunk; recorded in ``extra`` so decode is
+    self-describing. crc32 always covers the *stored* bytes."""
+    if not compression or compression == "none":
+        return ck
+    data = blockcomp.compress(compression, ck.data)
+    aux = blockcomp.compress(compression, ck.aux) if ck.aux else b""
+    if len(data) + len(aux) >= ck.enc_bytes:
+        return ck
+    extra = json.loads(ck.extra) if ck.extra else {}
+    extra["comp"] = compression
+    ck.data, ck.aux = data, aux
+    ck.enc_bytes = len(data) + len(aux)
+    ck.crc32 = zlib.crc32(data)
+    ck.extra = json.dumps(extra)
+    return ck
+
+
+def _open_payload(chunk: dict) -> tuple[bytes, bytes, dict]:
+    """crc-check the stored bytes, then undo block compression if present.
+    Returns (data, aux, extra_dict)."""
+    data = chunk["data"]
+    if chunk.get("crc32") is not None and zlib.crc32(data) != chunk["crc32"]:
+        raise ValueError(f"chunk {chunk.get('col')}: crc32 mismatch")
+    extra = json.loads(chunk["extra"]) if chunk.get("extra") else {}
+    comp = extra.get("comp")
+    aux = chunk.get("aux") or b""
+    if comp:
+        data = blockcomp.decompress(comp, data)
+        aux = blockcomp.decompress(comp, aux) if aux else b""
+    return data, aux, extra
 
 
 @dataclass
@@ -188,9 +224,7 @@ def encode_bytes(
 
 def decode_numeric(chunk: dict) -> np.ndarray:
     codec, dtype, n = chunk["codec"], chunk["dtype"], int(chunk["n_values"])
-    data = chunk["data"]
-    if chunk.get("crc32") is not None and zlib.crc32(data) != chunk["crc32"]:
-        raise ValueError(f"chunk {chunk.get('col')}: crc32 mismatch")
+    data, aux, extra = _open_payload(chunk)
     if codec == "plain":
         return plain_decode_numeric(data, dtype, n)
     if codec == "delta_bp":
@@ -201,11 +235,10 @@ def decode_numeric(chunk: dict) -> np.ndarray:
         return vals
     if codec == "dict_rle":
         n_unique = int(chunk["n_unique"])
-        uniques = dict_page_decode_numeric(chunk["aux"], dtype, n_unique)
+        uniques = dict_page_decode_numeric(aux, dtype, n_unique)
         codes = dict_decode_codes(data, n, n_unique)
         return uniques[codes]
     if codec == "for_rle":
-        extra = json.loads(chunk["extra"]) if chunk["extra"] else {}
         offset = int(extra.get("for_offset", 0))
         bw = int(chunk["bit_width"])
         shifted, _ = hybrid_decode_with_size(data, bw, n)
@@ -216,7 +249,7 @@ def decode_numeric(chunk: dict) -> np.ndarray:
 
 def decode_bool(chunk: dict) -> np.ndarray:
     codec, n = chunk["codec"], int(chunk["n_values"])
-    data = chunk["data"]
+    data, _, _ = _open_payload(chunk)
     if codec == "bool_plain":
         return plain_decode_bool(data, n)
     if codec == "bool_rle":
@@ -227,9 +260,7 @@ def decode_bool(chunk: dict) -> np.ndarray:
 
 def decode_bytes(chunk: dict) -> tuple[np.ndarray, bytes]:
     codec, n = chunk["codec"], int(chunk["n_values"])
-    data = chunk["data"]
-    if chunk.get("crc32") is not None and zlib.crc32(data) != chunk["crc32"]:
-        raise ValueError(f"chunk {chunk.get('col')}: crc32 mismatch")
+    data, aux, _ = _open_payload(chunk)
     if codec == "ba_plain":
         return plain_decode_bytes(data, n)
     if codec == "ba_delta_len":
@@ -238,7 +269,7 @@ def decode_bytes(chunk: dict) -> tuple[np.ndarray, bytes]:
         return delta_ba_decode(data, n)
     if codec == "dict_rle":
         n_unique = int(chunk["n_unique"])
-        d_off, d_data = dict_page_decode_bytes(chunk["aux"], n_unique)
+        d_off, d_data = dict_page_decode_bytes(aux, n_unique)
         codes = dict_decode_codes(data, n, n_unique)
         lens = np.diff(d_off)[codes]
         offsets = np.zeros(n + 1, dtype=np.int64)

@@ -1,0 +1,122 @@
+"""spark-submit entrypoint (north_rule: "run via spark-submit --py-files
+on a multi-executor cluster").
+
+Usage (cluster):
+    zip -r pysparkenc.zip pysparkenc
+    spark-submit --py-files pysparkenc.zip -m pysparkenc.cli  encode \
+        --input  s3://bucket/tokens_table/ \
+        --output s3://bucket/encoded/ \
+        --partition-by source,doc_id --num-partitions 4096 --resume
+
+Subcommands:
+    encode  parquet/Iceberg table -> encoded chunks + lineage (resumable)
+    decode  committed chunks -> parquet table
+    verify  decode + anti-join against the original; exit 1 on mismatch
+
+No master/parallelism is hard-coded: spark-submit owns the cluster shape,
+which is how the same job runs at N and 4N executors for the scaling
+criterion (evidenced in-sandbox by bench.py --scaling at local[8]/local[32]).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession, functions as F
+
+from .engine import decode_table, encode_table, output_schema_of_chunks
+from .lineage import encode_with_lineage, read_committed_chunks
+
+
+def _session(app: str) -> SparkSession:
+    return SparkSession.builder.appName(app).getOrCreate()
+
+
+def _parse_partition_by(s: str | None) -> tuple[str, ...] | None:
+    if not s:
+        return None
+    return tuple(c.strip() for c in s.split(",") if c.strip())
+
+
+def cmd_encode(args: argparse.Namespace) -> int:
+    spark = _session("pysparkenc-encode")
+    df = spark.read.parquet(args.input)
+    if args.columns:
+        df = df.select(*[c.strip() for c in args.columns.split(",")])
+    metrics = encode_with_lineage(
+        df,
+        args.output,
+        partition_by=_parse_partition_by(args.partition_by),
+        num_partitions=args.num_partitions,
+        codec=None if args.codec in (None, "auto") else args.codec,
+        resume=args.resume,
+    )
+    print(json.dumps(metrics))
+    return 0
+
+
+def cmd_decode(args: argparse.Namespace) -> int:
+    spark = _session("pysparkenc-decode")
+    chunks = read_committed_chunks(spark, args.input)
+    decoded = decode_table(chunks, None)
+    decoded.write.mode(args.mode).parquet(args.output)
+    print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
+    return 0
+
+
+def cmd_verify(args: argparse.Namespace) -> int:
+    spark = _session("pysparkenc-verify")
+    orig = spark.read.parquet(args.original)
+    chunks = read_committed_chunks(spark, args.encoded)
+    decoded = decode_table(chunks, orig.schema)
+    key = args.key
+    cols = [c for c in orig.columns if c != key]
+    joined = decoded.alias("d").join(orig.alias("o"), key, "full_outer")
+    mismatch = joined.where(
+        F.coalesce(
+            ~F.struct(*[F.col(f"d.{c}") for c in cols]).eqNullSafe(
+                F.struct(*[F.col(f"o.{c}") for c in cols])
+            ),
+            F.lit(True),  # key present on only one side
+        )
+    ).count()
+    total = orig.count()
+    print(json.dumps({"rows": total, "mismatches": mismatch}))
+    return 0 if mismatch == 0 else 1
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="pysparkenc")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    enc = sub.add_parser("encode")
+    enc.add_argument("--input", required=True)
+    enc.add_argument("--output", required=True)
+    enc.add_argument("--partition-by", default=None)
+    enc.add_argument("--num-partitions", type=int, default=None)
+    enc.add_argument("--codec", default="auto")
+    enc.add_argument("--columns", default=None)
+    enc.add_argument("--resume", action=argparse.BooleanOptionalAction,
+                     default=True)
+    enc.set_defaults(fn=cmd_encode)
+
+    dec = sub.add_parser("decode")
+    dec.add_argument("--input", required=True)
+    dec.add_argument("--output", required=True)
+    dec.add_argument("--mode", default="overwrite")
+    dec.set_defaults(fn=cmd_decode)
+
+    ver = sub.add_parser("verify")
+    ver.add_argument("--original", required=True)
+    ver.add_argument("--encoded", required=True)
+    ver.add_argument("--key", default="doc_id")
+    ver.set_defaults(fn=cmd_verify)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -80,13 +80,17 @@ def minhash_signature(
     """
     sh = word_shingles(F.col(text_col), shingle)
     base = F.transform(sh, lambda s: F.pmod(portable_hash60(s), F.lit(MERSENNE31)))
+    # materialize the hashed-shingle array in its own projection: it is
+    # expensive (md5 per shingle) and referenced k times below, so
+    # CollapseProject keeps it computed once instead of inlining k copies
+    hashed = df.select("doc_id", base.alias("hs"))
     cols = [F.col("doc_id")]
     for i, (a, b) in enumerate(minhash_params(k)):
         mh = F.array_min(
-            F.transform(base, lambda h: F.pmod(h * a + b, F.lit(MERSENNE31)))
+            F.transform(F.col("hs"), lambda h: F.pmod(h * a + b, F.lit(MERSENNE31)))
         )
         cols.append(F.coalesce(mh, F.lit(-1)).cast("long").alias(f"mh{i}"))
-    return df.select(*cols)
+    return hashed.select(*cols)
 
 
 def minhash_lsh_pairs(
@@ -179,7 +183,10 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 31) -> DataFrame:
     occurrence). 31 bits so every intermediate fits int64 portably.
     """
     ws = words(F.col(text_col))
-    hs = F.transform(ws, lambda w: F.pmod(portable_hash60(w), F.lit(MERSENNE31)))
+    hs_expr = F.transform(ws, lambda w: F.pmod(portable_hash60(w), F.lit(MERSENNE31)))
+    # own projection: md5-per-word array is referenced by all `bits` votes
+    hashed = df.select("doc_id", hs_expr.alias("hs"))
+    hs = F.col("hs")
     def _vote_merge(b: int):
         def merge(acc, h):
             return acc + F.when(
@@ -194,7 +201,7 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 31) -> DataFrame:
         sim = sim + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-    return df.select("doc_id", sim.alias("simhash"))
+    return hashed.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_dup_pairs(

@@ -188,6 +188,7 @@ def _encode_arrow_batch(
     chunk_id: int,
     group_key: str | None,
     codec_for: dict[str, str],
+    compression: str | None = None,
 ) -> pa.RecordBatch:
     n_rows = batch.num_rows
     out_rows: list[dict] = []
@@ -212,7 +213,7 @@ def _encode_arrow_batch(
                                          codec_for.get(f"{name}#len"))
             for c, lg in ((ck, logical), (lk, "int32")):
                 out_rows.append(_chunk_row(c, part_id, chunk_id, group_key,
-                                           idx, lg, n_rows))
+                                           idx, lg, n_rows, compression))
         elif logical in ("int32", "int64", "float32", "float64", "timestamp_us",
                          "timestamp_ntz_us"):
             phys = "int64" if logical.startswith("timestamp") else logical
@@ -222,12 +223,12 @@ def _encode_arrow_batch(
                 values = arr.to_numpy(zero_copy_only=False)
             ck = chunklib.encode_numeric(name, values, phys, codec)
             out_rows.append(_chunk_row(ck, part_id, chunk_id, group_key, idx,
-                                       logical, n_rows))
+                                       logical, n_rows, compression))
         elif logical == "bool":
             values = arr.to_numpy(zero_copy_only=False)
             ck = chunklib.encode_bool(name, values, codec)
             out_rows.append(_chunk_row(ck, part_id, chunk_id, group_key, idx,
-                                       logical, n_rows))
+                                       logical, n_rows, compression))
         elif logical in ("string", "binary"):
             if isinstance(arr, pa.ChunkedArray):
                 arr = arr.combine_chunks()
@@ -245,7 +246,7 @@ def _encode_arrow_batch(
             offsets = offsets - offsets[0]
             ck = chunklib.encode_bytes(name, offsets, data_buf, codec)
             out_rows.append(_chunk_row(ck, part_id, chunk_id, group_key, idx,
-                                       logical, n_rows))
+                                       logical, n_rows, compression))
         else:
             raise TypeError(f"unsupported logical type {logical}")
     cols_data = {
@@ -262,7 +263,9 @@ def _chunk_row(
     col_idx: int,
     logical: str,
     n_rows: int,
+    compression: str | None = None,
 ) -> dict:
+    ck = chunklib.compress_chunk(ck, compression)
     return {
         "part_id": part_id,
         "chunk_id": chunk_id,
@@ -295,11 +298,14 @@ def encode_table(
     num_partitions: int | None = None,
     codec: str | dict[str, str] | None = None,
     group_key_col: str | None = None,
+    compression: str | None = None,
 ) -> DataFrame:
     """Encode every column of ``df`` into chunk rows (CHUNK_SCHEMA).
 
     ``codec``: None = auto-select per chunk (SURVEY.md §7.3); a string
     forces one codec for every column; a dict maps column -> codec.
+    ``compression``: optional block compression over the encoded payload
+    (reference's compression/ layer); kept per-chunk only when smaller.
     """
     spark = df.sparkSession
     if num_partitions is None:
@@ -343,7 +349,8 @@ def encode_table(
                 gk = str(
                     batch.column(batch.schema.get_field_index(gk_col))[0]
                 )
-            yield _encode_arrow_batch(batch, cols, pid, seq, gk, codec_for)
+            yield _encode_arrow_batch(batch, cols, pid, seq, gk, codec_for,
+                                      compression)
 
     return shuffled.mapInArrow(encode_iter, CHUNK_SCHEMA)
 

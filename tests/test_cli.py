@@ -1,0 +1,42 @@
+"""spark-submit CLI smoke: encode -> decode -> verify on a real table."""
+
+from __future__ import annotations
+
+import json
+
+from pysparkenc.cli import main
+from pysparkenc.synth import make_tokens_table
+
+
+def test_encode_decode_verify_roundtrip(spark, tmp_path, capsys):
+    src = str(tmp_path / "src")
+    enc = str(tmp_path / "enc")
+    out = str(tmp_path / "out")
+    make_tokens_table(spark, 300, seed=9).write.parquet(src)
+
+    assert main([
+        "encode", "--input", src, "--output", enc,
+        "--partition-by", "source,doc_id", "--num-partitions", "4",
+    ]) == 0
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["rows"] == 300
+    assert metrics["compression_ratio"] > 1.0
+
+    assert main(["decode", "--input", enc, "--output", out]) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["rows"] == 300
+
+    assert main(["verify", "--original", src, "--encoded", enc]) == 0
+    v = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert v == {"rows": 300, "mismatches": 0}
+
+
+def test_verify_detects_corruption(spark, tmp_path, capsys):
+    src = str(tmp_path / "src")
+    src2 = str(tmp_path / "src2")
+    enc = str(tmp_path / "enc")
+    make_tokens_table(spark, 120, seed=1).write.parquet(src)
+    # a different table pretending to be the original
+    make_tokens_table(spark, 120, seed=2).write.parquet(src2)
+    assert main(["encode", "--input", src, "--output", enc]) == 0
+    capsys.readouterr()
+    assert main(["verify", "--original", src2, "--encoded", enc]) == 1

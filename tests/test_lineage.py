@@ -1,0 +1,118 @@
+"""Checkpoint/lineage resume (north_rule: "resumable from checkpoint with
+per-partition lineage + metrics").
+
+Simulates the kill-and-rerun scenario the 10^12-sequence job needs: a run
+that loses some partitions before commit must (a) hide the orphan chunk
+rows from readers, (b) re-encode ONLY the missing partitions on resume,
+(c) decode bit-identically afterwards.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pysparkenc.engine import decode_table
+from pysparkenc.lineage import (
+    completed_part_ids,
+    encode_with_lineage,
+    read_committed_chunks,
+    read_lineage,
+)
+from pysparkenc.synth import make_tokens_table
+
+N_DOCS = 600
+N_PARTS = 8
+
+
+@pytest.fixture()
+def tokens_df(spark):
+    df = make_tokens_table(spark, N_DOCS, seed=5)
+    df.cache().count()
+    yield df
+    df.unpersist()
+
+
+def test_full_run_then_resume_is_noop(spark, tokens_df, tmp_path):
+    path = str(tmp_path / "enc")
+    m1 = encode_with_lineage(
+        tokens_df, path, partition_by=("source", "doc_id"),
+        num_partitions=N_PARTS,
+    )
+    assert m1["rows"] == N_DOCS
+    assert m1["skipped_partitions"] == 0
+
+    m2 = encode_with_lineage(
+        tokens_df, path, partition_by=("source", "doc_id"),
+        num_partitions=N_PARTS,
+    )
+    assert m2["rows"] == 0  # nothing pending
+    assert m2["skipped_partitions"] == m1["partitions"]
+
+
+def test_partial_run_resumes_only_missing(spark, tokens_df, tmp_path):
+    path = str(tmp_path / "enc")
+    # run 1 "crashes": partitions 0 and 1 never commit
+    m1 = encode_with_lineage(
+        tokens_df, path, partition_by=("source", "doc_id"),
+        num_partitions=N_PARTS, drop_part_ids=frozenset({0, 1}),
+    )
+    done1 = {r["part_id"] for r in completed_part_ids(spark, path).collect()}
+    assert done1.isdisjoint({0, 1})
+
+    # run 2 resumes: encodes exactly the missing partitions
+    m2 = encode_with_lineage(
+        tokens_df, path, partition_by=("source", "doc_id"),
+        num_partitions=N_PARTS,
+    )
+    assert m2["skipped_partitions"] == m1["partitions"]
+    assert m1["rows"] + m2["rows"] == N_DOCS
+    done2 = {r["part_id"] for r in completed_part_ids(spark, path).collect()}
+    assert {0, 1} <= done2
+
+    # committed view decodes bit-identically to the input
+    chunks = read_committed_chunks(spark, path)
+    decoded = decode_table(chunks, tokens_df.schema)
+    orig = {r["doc_id"]: r["tokens"] for r in tokens_df.collect()}
+    got = {r["doc_id"]: r["tokens"] for r in decoded.collect()}
+    assert got == orig
+
+
+def test_orphan_chunks_invisible_without_lineage(spark, tokens_df, tmp_path):
+    path = str(tmp_path / "enc")
+    encode_with_lineage(
+        tokens_df, path, partition_by=("source", "doc_id"),
+        num_partitions=N_PARTS, drop_part_ids=frozenset({2}),
+    )
+    # fake a crash AFTER some chunk rows of a new run landed but BEFORE its
+    # lineage commit: write chunk rows with a bogus run_id and no lineage
+    chunks = spark.read.parquet(f"{path}/chunks")
+    (
+        chunks.where(F.col("part_id") == 3)
+        .withColumn("run_id", F.lit(999))
+        .write.mode("append")
+        .partitionBy("run_id")
+        .parquet(f"{path}/chunks")
+    )
+    committed = read_committed_chunks(spark, path)
+    assert committed.where(F.col("part_id") == 3).count() == (
+        chunks.where((F.col("part_id") == 3)).count()
+    )  # only the original run's rows, not the 999 orphans
+    assert "run_id" not in committed.columns
+
+
+def test_lineage_metrics_schema(spark, tokens_df, tmp_path):
+    path = str(tmp_path / "enc")
+    encode_with_lineage(
+        tokens_df, path, partition_by=("source", "doc_id"),
+        num_partitions=N_PARTS,
+    )
+    lin = read_lineage(spark, path)
+    row = lin.agg(
+        F.sum("n_rows").alias("rows"),
+        F.sum("n_chunks").alias("chunks"),
+        F.min("enc_bytes").alias("min_enc"),
+    ).collect()[0]
+    assert row["rows"] == N_DOCS
+    assert row["chunks"] > 0
+    assert row["min_enc"] > 0
