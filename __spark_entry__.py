@@ -163,6 +163,41 @@ def q_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_roundtrip_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip(spark, sf_dir, "customer", ("c_mktsegment", "c_custkey"))
+
+
+def q_roundtrip_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip(spark, sf_dir, "part", ("p_brand", "p_partkey"))
+
+
+def q_roundtrip_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip(spark, sf_dir, "supplier", None)
+
+
+def q_roundtrip_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trips the float-vector table (list<float32> chunk path), then
+    reduces each decoded vector to an exact integer checksum so the DuckDB
+    oracle compares bit-identical values without array-hash ambiguity:
+    float32 -> double widening is exact in both engines, and the e6-floor
+    sum is integer arithmetic."""
+    out = _roundtrip(spark, sf_dir, "embeddings", None)
+    emb_sum = F.aggregate(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(1_000_000.0)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return out.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("long").alias("n_dims"),
+        emb_sum.alias("emb_sum_e6"),
+    )
+
+
 def q_footer_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _read(spark, sf_dir, "lineitem").select(*_LINEITEM_NUM_COLS)
     meta = footer(encode_table(df))
@@ -301,6 +336,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_lineitem": q_roundtrip_lineitem,
         "roundtrip_orders": q_roundtrip_orders,
         "roundtrip_events": q_roundtrip_events,
+        "roundtrip_customer": q_roundtrip_customer,
+        "roundtrip_part": q_roundtrip_part,
+        "roundtrip_supplier": q_roundtrip_supplier,
+        "roundtrip_embeddings": q_roundtrip_embeddings,
         "footer_stats_lineitem": q_footer_stats_lineitem,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
@@ -361,6 +400,23 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_events": (
             "SELECT event_id, user_id, event_type, value, props, "
             "epoch_us(ts) AS ts_us FROM events"
+        ),
+        "roundtrip_customer": (
+            "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment "
+            "FROM customer"
+        ),
+        "roundtrip_part": (
+            "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice "
+            "FROM part"
+        ),
+        "roundtrip_supplier": (
+            "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"
+        ),
+        "roundtrip_embeddings": (
+            "SELECT vec_id, label, len(embedding)::BIGINT AS n_dims, "
+            "coalesce(list_sum(list_transform(embedding, "
+            "x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT))), 0)::BIGINT "
+            "AS emb_sum_e6 FROM embeddings"
         ),
         "footer_stats_lineitem": footer_union,
         "dedup_exact": (

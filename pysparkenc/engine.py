@@ -125,10 +125,15 @@ def _logical_of(field) -> str:
         return "timestamp_us"
     if isinstance(dt, TimestampNTZType):
         return "timestamp_ntz_us"
-    if isinstance(dt, ArrayType) and isinstance(dt.elementType, IntegerType):
-        return "list<int32>"
-    if isinstance(dt, ArrayType) and isinstance(dt.elementType, LongType):
-        return "list<int64>"
+    if isinstance(dt, ArrayType):
+        elem = {
+            IntegerType: "int32",
+            LongType: "int64",
+            FloatType: "float32",
+            DoubleType: "float64",
+        }.get(type(dt.elementType))
+        if elem is not None:
+            return f"list<{elem}>"
     raise TypeError(f"unsupported column type for encoding: {field.name}: {dt}")
 
 
@@ -372,6 +377,8 @@ def _arrow_type_of(logical: str) -> pa.DataType:
         "timestamp_ntz_us": pa.timestamp("us"),
         "list<int32>": pa.list_(pa.int32()),
         "list<int64>": pa.list_(pa.int64()),
+        "list<float32>": pa.list_(pa.float32()),
+        "list<float64>": pa.list_(pa.float64()),
     }[logical]
 
 
@@ -388,6 +395,8 @@ def _spark_type_of(logical: str):
         "timestamp_ntz_us": TimestampNTZType(),
         "list<int32>": ArrayType(IntegerType()),
         "list<int64>": ArrayType(LongType()),
+        "list<float32>": ArrayType(FloatType()),
+        "list<float64>": ArrayType(DoubleType()),
     }[logical]
 
 
