@@ -321,6 +321,47 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
 
 
+def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-resume demo (north_rule): run 1 'crashes' with two
+    partitions uncommitted, run 2 resumes and encodes only the missing
+    ones; the committed chunk view must decode bit-identically. Output is
+    one row per run with its partition/row/mismatch counts."""
+    import tempfile
+
+    from pysparkenc.engine import decode_table
+    from pysparkenc.lineage import encode_with_lineage, read_committed_chunks
+
+    df = make_tokens_table(spark, 1_000, seed=11)
+    df.cache().count()
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/enc"
+        m1 = encode_with_lineage(
+            df, path, partition_by=("source", "doc_id"), num_partitions=8,
+            drop_part_ids=frozenset({0, 1}),
+        )
+        m2 = encode_with_lineage(
+            df, path, partition_by=("source", "doc_id"), num_partitions=8,
+        )
+        decoded = decode_table(read_committed_chunks(spark, path), df.schema)
+        mismatches = (
+            decoded.alias("d")
+            .join(df.alias("o"), "doc_id")
+            .where(F.col("d.tokens") != F.col("o.tokens"))
+            .count()
+        )
+        rows = [
+            ("run1_partial", m1["partitions"], m1["rows"], m1["skipped_partitions"], 0),
+            ("run2_resume", m2["partitions"], m2["rows"], m2["skipped_partitions"],
+             int(mismatches)),
+        ]
+        out = spark.createDataFrame(
+            rows, "phase string, partitions long, rows long, skipped long, mismatches long"
+        )
+        out.cache().count()  # materialize before tmp dir vanishes
+    df.unpersist()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -357,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_summary": q_compression_summary,
         "asset_features": q_asset_features,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "lineage_resume": q_lineage_resume,
     }
 
 

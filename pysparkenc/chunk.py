@@ -19,6 +19,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from .kernels.bss import bss_decode, bss_encode
 from .kernels.bytearray import (
     delta_ba_decode,
     delta_ba_encode,
@@ -116,15 +117,13 @@ def _stats_numeric(values: np.ndarray) -> tuple[float | None, float | None]:
 
 
 def encode_numeric(
-    col: str, values: np.ndarray, dtype: str, codec: str | None = None
+    col: str, values: np.ndarray, dtype: str, codec: str | None = None,
+    compression: str | None = None,
 ) -> EncodedChunk:
     n = values.size
     choice: Choice | None = None
     if codec is None:
-        if dtype in ("int32", "int64"):
-            choice = select_numeric(values, dtype)
-        else:
-            choice = select_numeric(values, dtype)
+        choice = select_numeric(values, dtype, compression)
         codec = choice.codec
     plain_bytes = n * _ITEM[dtype]
     aux = b""
@@ -134,6 +133,8 @@ def encode_numeric(
 
     if codec == "plain":
         data = plain_encode_numeric(values, dtype)
+    elif codec == "bss":
+        data = bss_encode(values, dtype)
     elif codec == "delta_bp":
         width = 32 if dtype == "int32" else 64
         data = delta_bp_encode(values, width=width)
@@ -227,6 +228,8 @@ def decode_numeric(chunk: dict) -> np.ndarray:
     data, aux, extra = _open_payload(chunk)
     if codec == "plain":
         return plain_decode_numeric(data, dtype, n)
+    if codec == "bss":
+        return bss_decode(data, dtype, n)
     if codec == "delta_bp":
         width = 32 if dtype == "int32" else 64
         vals, _ = delta_bp_decode(data, width=width)

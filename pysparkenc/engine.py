@@ -213,7 +213,8 @@ def _encode_arrow_batch(
             # slice the flat child to this batch's window
             values = values[offsets[0] : offsets[-1]]
             lengths = np.diff(offsets).astype(np.int32)
-            ck = chunklib.encode_numeric(name, values, child_logical, codec)
+            ck = chunklib.encode_numeric(name, values, child_logical, codec,
+                                         compression=compression)
             lk = chunklib.encode_numeric(f"{name}#len", lengths, "int32",
                                          codec_for.get(f"{name}#len"))
             for c, lg in ((ck, logical), (lk, "int32")):
@@ -226,7 +227,8 @@ def _encode_arrow_batch(
                 values = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
             else:
                 values = arr.to_numpy(zero_copy_only=False)
-            ck = chunklib.encode_numeric(name, values, phys, codec)
+            ck = chunklib.encode_numeric(name, values, phys, codec,
+                                         compression=compression)
             out_rows.append(_chunk_row(ck, part_id, chunk_id, group_key, idx,
                                        logical, n_rows, compression))
         elif logical == "bool":

@@ -79,7 +79,12 @@ def completed_part_ids(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_committed_chunks(spark: SparkSession, path: str) -> DataFrame:
-    """Chunk rows whose partition committed (has a done lineage row)."""
+    """Chunk rows whose partition committed (has a done lineage row).
+
+    ``part_id`` is remapped to ``run_id * 2^32 + part_id`` so chunk groups
+    stay unique across runs: batch-resume assigns each part_id to exactly
+    one run, but streaming appends re-use the same part space every
+    micro-batch and must not collide in decode's groupBy."""
     chunks = spark.read.parquet(_chunks_dir(path))
     done = (
         read_lineage(spark, path)
@@ -87,8 +92,13 @@ def read_committed_chunks(spark: SparkSession, path: str) -> DataFrame:
         .select("run_id", "part_id")
         .distinct()
     )
-    return chunks.join(F.broadcast(done), ["run_id", "part_id"], "left_semi").drop(
-        "run_id"
+    return (
+        chunks.join(F.broadcast(done), ["run_id", "part_id"], "left_semi")
+        .withColumn(
+            "part_id",
+            (F.col("run_id") * F.lit(1 << 32) + F.col("part_id")).cast("long"),
+        )
+        .drop("run_id")
     )
 
 

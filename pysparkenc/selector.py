@@ -68,13 +68,27 @@ def _sample(values: np.ndarray) -> tuple[np.ndarray, float]:
     return s, n / s.shape[0]
 
 
-def select_numeric(values: np.ndarray, dtype: str) -> Choice:
+def select_numeric(
+    values: np.ndarray, dtype: str, compression: str | None = None
+) -> Choice:
     w = _ITEM[dtype]
     n = values.size
     plain = n * w
     sizes: dict[str, int] = {"plain": plain}
     s, scale = _sample(values)
     is_int = dtype.startswith("int")
+
+    if compression and dtype.startswith("float"):
+        # BYTE_STREAM_SPLIT is plain-sized raw and only wins under block
+        # compression, so compare plain vs bss on the *compressed* sample
+        # (zlib level 1 as a cheap, codec-agnostic compressibility probe)
+        import zlib
+
+        from .kernels.bss import bss_encode
+
+        raw = np.ascontiguousarray(s, dtype=f"<{'f4' if w == 4 else 'f8'}")
+        sizes["plain"] = int(len(zlib.compress(raw.tobytes(), 1)) * scale)
+        sizes["bss"] = int(len(zlib.compress(bss_encode(s, dtype), 1)) * scale)
 
     if is_int:
         width = 32 if dtype == "int32" else 64

@@ -1,0 +1,68 @@
+"""Structured Streaming ingest -> encode.
+
+The reference library has no streaming constructs (SURVEY.md §2.4); this
+is the Spark-native extension a continuously-growing 10^12-sequence corpus
+needs: new token files land in a directory (or Kafka/Iceberg feed), each
+micro-batch is encoded with the full batch engine — salted partitioning,
+codec auto-selection, per-partition lineage — via ``foreachBatch``.
+
+Exactly-once comes from two cooperating mechanisms:
+- Spark's streaming checkpoint replays a failed micro-batch;
+- the lineage commit protocol (chunks first, lineage row after) makes a
+  replayed batch's orphan chunks invisible to readers, so replays never
+  double-count (``lineage.read_committed_chunks``).
+
+``foreachBatch`` (not a streaming mapInArrow) is deliberate: the skew plan
+in ``plan_partitions`` needs a per-batch aggregate, which is exactly the
+micro-batch boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from .lineage import encode_with_lineage
+
+
+def encode_stream(
+    stream_df: DataFrame,
+    path: str,
+    *,
+    checkpoint: str,
+    partition_by: tuple[str, ...] | None = None,
+    num_partitions: int | None = None,
+    codec: str | dict[str, str] | None = None,
+    available_now: bool = True,
+):
+    """Start a streaming query encoding each micro-batch into ``path``.
+
+    ``available_now=True`` drains everything currently available and stops
+    (the batch-backfill trigger); pass False for a continuous micro-batch
+    stream. Returns the StreamingQuery; callers ``awaitTermination()``.
+    """
+    if not stream_df.isStreaming:
+        raise ValueError("encode_stream needs a streaming DataFrame "
+                         "(spark.readStream...)")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # resume=False: each micro-batch is new data; dedup across replays
+        # is handled by the chunks-then-lineage commit protocol, not by
+        # the batch-mode part_id anti-join (which would skip fresh rows
+        # that hash into already-used partitions).
+        encode_with_lineage(
+            batch_df,
+            path,
+            partition_by=partition_by,
+            num_partitions=num_partitions,
+            codec=codec,
+            resume=False,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

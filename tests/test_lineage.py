@@ -95,7 +95,8 @@ def test_orphan_chunks_invisible_without_lineage(spark, tokens_df, tmp_path):
         .parquet(f"{path}/chunks")
     )
     committed = read_committed_chunks(spark, path)
-    assert committed.where(F.col("part_id") == 3).count() == (
+    # committed part_id is run-disambiguated: run_id * 2^32 + part_id
+    assert committed.where(F.pmod("part_id", F.lit(1 << 32)) == 3).count() == (
         chunks.where((F.col("part_id") == 3)).count()
     )  # only the original run's rows, not the 999 orphans
     assert "run_id" not in committed.columns
