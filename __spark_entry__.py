@@ -211,6 +211,26 @@ def q_footer_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pruned_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stat-pruned decode (reference's row-group skip re-expressed): only
+    chunk groups whose l_orderkey [min,max] overlaps the range are
+    decoded, then the exact predicate + aggregate run on the survivors."""
+    from pysparkenc.engine import decode_table_where
+
+    df = _read(spark, sf_dir, "lineitem")
+    chunks = encode_table(df, partition_by=("l_returnflag", "l_orderkey"))
+    out = decode_table_where(chunks, df.schema, "l_orderkey", 1000, 5000)
+    return (
+        out.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.min("l_orderkey").alias("min_ok"),
+            F.max("l_orderkey").alias("max_ok"),
+        )
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup(_read(spark, sf_dir, "documents"))
 
@@ -382,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_supplier": q_roundtrip_supplier,
         "roundtrip_embeddings": q_roundtrip_embeddings,
         "footer_stats_lineitem": q_footer_stats_lineitem,
+        "pruned_range_scan": q_pruned_range_scan,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "text_quality": q_text_quality,
@@ -461,6 +482,12 @@ def oracle_sql() -> dict[str, str]:
             "AS emb_sum_e6 FROM embeddings"
         ),
         "footer_stats_lineitem": footer_union,
+        "pruned_range_scan": (
+            "SELECT l_returnflag, count(*)::BIGINT AS n_rows, "
+            "sum(l_quantity) AS sum_qty, min(l_orderkey) AS min_ok, "
+            "max(l_orderkey) AS max_ok FROM lineitem "
+            "WHERE l_orderkey BETWEEN 1000 AND 5000 GROUP BY l_returnflag"
+        ),
         "dedup_exact": (
             "SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, "
             "count(*)::BIGINT AS dup_count FROM documents GROUP BY md5(text)"

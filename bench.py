@@ -144,7 +144,12 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     sys.path.insert(0, REPO)
     import __spark_entry__ as entrymod
 
-    spark = make_spark(cpus)
+    # nproc lies on this sandbox (see BENCH.md host-capacity calibration):
+    # ~8-13 effective cores back 32 hyperthread slots, and 32 concurrent
+    # Arrow python workers on ~10 real cores degrade 3-8x. Cap the session
+    # at 16 — a real cluster sizes executors to physical cores.
+    used = min(cpus, 16)
+    spark = make_spark(used)
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         if name in SKIP_AT_BENCH_SF:
@@ -166,7 +171,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "cpus": cpus,
+        "cpus": used,
+        "cpus_requested": cpus,
         "flagship_tokens": enc["tokens"],
         "tokens_per_sec": enc["tokens_per_sec"],
         "compression_ratio": enc["compression_ratio"],

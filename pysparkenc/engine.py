@@ -475,3 +475,50 @@ def footer(chunks_df: DataFrame) -> DataFrame:
     (the queryable analogue of the reference's thrift FileMetaData,
     file-reader.go:193-253)."""
     return chunks_df.drop("data", "aux")
+
+
+def prune_chunks(
+    chunks_df: DataFrame,
+    col: str,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Stat-based chunk-group pruning: keep only chunk groups whose
+    ``col`` min/max range overlaps [lo, hi].
+
+    The Spark-side analogue of the reference's row-group skip
+    (file-reader.go:110-112 SkipRowGroup + chunk seek-skip
+    layout/chunk.go:28-51): per-chunk min/max stats recorded at encode
+    time let a range predicate drop whole groups before any payload byte
+    is decoded. At 100 TB the decode stage then touches only matching
+    groups — this is predicate pushdown *through* the encoded
+    representation.
+    """
+    stats = chunks_df.where(F.col("col") == col).select(
+        "part_id", "chunk_id", "num_min", "num_max"
+    )
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (F.col("num_max") >= float(lo))
+    if hi is not None:
+        cond = cond & (F.col("num_min") <= float(hi))
+    keep = stats.where(cond).select("part_id", "chunk_id")
+    return chunks_df.join(F.broadcast(keep), ["part_id", "chunk_id"],
+                          "left_semi")
+
+
+def decode_table_where(
+    chunks_df: DataFrame,
+    schema: StructType | None,
+    col: str,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Range-filtered decode: prune chunk groups by footer stats, decode
+    the survivors, then apply the exact row-level predicate."""
+    out = decode_table(prune_chunks(chunks_df, col, lo, hi), schema)
+    if lo is not None:
+        out = out.where(F.col(col) >= lo)
+    if hi is not None:
+        out = out.where(F.col(col) <= hi)
+    return out
