@@ -239,6 +239,10 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.token_count(_read(spark, sf_dir, "documents"))
 
 
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.token_count_bpe(_read(spark, sf_dir, "documents"))
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.quality_score(_read(spark, sf_dir, "documents"))
 
@@ -405,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pruned_range_scan": q_pruned_range_scan,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
+        "token_count_bpe": q_token_count_bpe,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -494,6 +499,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_count": (
             f"SELECT doc_id, len({_WS})::BIGINT AS n_tokens FROM documents"
+        ),
+        "token_count_bpe": (
+            "SELECT doc_id, len(regexp_extract_all(text, "
+            r"'[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::BIGINT "
+            "AS n_bpe_tokens FROM documents"
         ),
         "text_quality": f"""
 WITH base AS (

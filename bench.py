@@ -117,11 +117,29 @@ def encode_throughput(spark, n_rows: int, *, warmup: bool = True,
                 F.sum("enc_bytes").alias("enc"),
             ).collect()[0]
             wall = min(wall, time.monotonic() - t0)
+
+        # decode side: materialize encoded chunks once, then time the
+        # full chunk-rows -> original-table decode (the reference's only
+        # complete direction, file-reader.go — ours is columnar+parallel)
+        from pysparkenc.engine import decode_table
+
+        encode_table(df, partition_by=("source", "doc_id")).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/chunks")
+        chunks_df = spark.read.parquet(f"{tmp}/chunks")
+        force(chunks_df)
+        dec_wall = float("inf")
+        for _ in range(max(1, trials)):
+            t0 = time.monotonic()
+            force(decode_table(chunks_df, df.schema))
+            dec_wall = min(dec_wall, time.monotonic() - t0)
         return {
             "rows": n_rows,
             "tokens": int(total_tokens),
             "wall_sec": round(wall, 3),
             "tokens_per_sec": round(total_tokens / wall, 1),
+            "decode_wall_sec": round(dec_wall, 3),
+            "decode_tokens_per_sec": round(total_tokens / dec_wall, 1),
             "plain_bytes": int(agg["plain"]),
             "enc_bytes": int(agg["enc"]),
             "compression_ratio": round(agg["plain"] / max(agg["enc"], 1), 4),
@@ -249,6 +267,8 @@ def run_scaling(n_rows: int, n_small: int = 2, n_big: int = 8) -> dict:
         "tokens_per_sec_4n": tp_4n,
         "wall_sec_n": results[n_small]["wall_sec"],
         "wall_sec_4n": results[n_big]["wall_sec"],
+        "decode_tokens_per_sec_n": results[n_small]["decode_tokens_per_sec"],
+        "decode_tokens_per_sec_4n": results[n_big]["decode_tokens_per_sec"],
         "compression_ratio": results[n_small]["compression_ratio"],
         "host_capacity": capacity,
         "passes_0.8": eff >= 0.8,
@@ -289,13 +309,18 @@ therefore local[{ns}] -> local[{nb}] — both inside real capacity, same
 
 ## Scaling result
 
-| parallelism | wall (s) | tokens/sec |
-|---|---|---|
-| local[{ns}] (N)  | {s['wall_sec_n']} | {s['tokens_per_sec_n']:,.0f} |
-| local[{nb}] (4N) | {s['wall_sec_4n']} | {s['tokens_per_sec_4n']:,.0f} |
+| parallelism | encode wall (s) | encode tokens/sec | decode tokens/sec |
+|---|---|---|---|
+| local[{ns}] (N)  | {s['wall_sec_n']} | {s['tokens_per_sec_n']:,.0f} | {s['decode_tokens_per_sec_n']:,.0f} |
+| local[{nb}] (4N) | {s['wall_sec_4n']} | {s['tokens_per_sec_4n']:,.0f} | {s['decode_tokens_per_sec_4n']:,.0f} |
 
 **Scaling efficiency = (tp_4N / tp_N) / 4 = {s['value']}** (target >= 0.8:
 {"PASS" if s['passes_0.8'] else "FAIL"}).
+
+The reference's read path is single-threaded value-at-a-time Go
+(file-reader.go:99-107, zero goroutines); its write path is unimplemented
+(layout/page.go:23-27). Both directions here are columnar, vectorized, and
+parallel.
 
 Compression ratio (plain/encoded, auto-selected codecs): {s['compression_ratio']}.
 

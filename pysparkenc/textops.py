@@ -51,6 +51,24 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# BPE-style pre-tokenizer approximation: letter runs, single digits,
+# single punctuation marks — the GPT-2 pattern's portable regex subset
+# (identical semantics in Java regex and DuckDB's RE2).
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish token count: the pre-tokenization granularity a byte-pair
+    tokenizer starts from — a tighter training-cost proxy than whitespace
+    words (digits and punctuation count individually)."""
+    return df.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic document-quality features + a composite score.
 
