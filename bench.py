@@ -79,7 +79,7 @@ def force(df) -> int:
 # ---------------------------------------------------------------------------
 
 def encode_throughput(spark, n_rows: int, *, warmup: bool = True,
-                      trials: int = 1) -> dict:
+                      trials: int = 1, input_path: str | None = None) -> dict:
     import shutil
     import tempfile
 
@@ -98,10 +98,12 @@ def encode_throughput(spark, n_rows: int, *, warmup: bool = True,
     tmpdir = "/dev/shm" if os.path.isdir("/dev/shm") else None
     tmp = tempfile.mkdtemp(prefix="pysparkenc-bench-", dir=tmpdir)
     try:
-        make_tokens_table(spark, n_rows, seed=42).write.mode("overwrite").parquet(
-            f"{tmp}/tokens"
-        )
-        df = spark.read.parquet(f"{tmp}/tokens")
+        if input_path is None:
+            make_tokens_table(spark, n_rows, seed=42).write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/tokens")
+            input_path = f"{tmp}/tokens"
+        df = spark.read.parquet(input_path)
         total_tokens = df.agg(F.sum("n_tok")).collect()[0][0]
         force(df)  # warm every column into the page cache
 
@@ -203,9 +205,17 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 # scaling mode: local[8] vs local[32] (N vs 4N stand-in)
 # ---------------------------------------------------------------------------
 
-def run_worker(cpus: int, n_rows: int) -> dict:
+def run_worker(cpus: int, n_rows: int, input_path: str | None = None) -> dict:
+    # pin the whole process tree (JVM, python workers) to `cpus` CPUs:
+    # a local[N] JVM otherwise spends extra host cores on GC/scan/py4j
+    # threads, silently inflating the small leg of the N-vs-4N comparison.
+    # A real cluster's executors are exactly this kind of CPU-capped.
+    try:
+        os.sched_setaffinity(0, set(range(cpus)))
+    except (AttributeError, OSError):
+        pass
     spark = make_spark(cpus, shuffle_partitions=max(cpus * 2, 16))
-    out = encode_throughput(spark, n_rows, trials=3)
+    out = encode_throughput(spark, n_rows, trials=3, input_path=input_path)
     out["cpus"] = cpus
     spark.stop()
     return out
@@ -241,15 +251,41 @@ def host_capacity_probe() -> list[dict]:
 
 
 def run_scaling(n_rows: int, n_small: int = 2, n_big: int = 8) -> dict:
+    import shutil
+    import tempfile
+
     capacity = host_capacity_probe()
-    results = {}
-    for cpus in (n_small, n_big):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__),
-             "--worker-cpus", str(cpus), "--rows", str(n_rows)],
-            capture_output=True, text=True, cwd=REPO, check=True,
-        )
-        results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+
+    # generate the deterministic input ONCE with full parallelism; every
+    # leg reads the same files (generation is not part of the metric)
+    tmpdir = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    shared = tempfile.mkdtemp(prefix="pysparkenc-scaling-", dir=tmpdir)
+    spark = make_spark(min(os.cpu_count() or 8, 16))
+    from pysparkenc.synth import make_tokens_table
+
+    make_tokens_table(spark, n_rows, seed=42).write.parquet(f"{shared}/tokens")
+    spark.stop()
+
+    results: dict[int, dict] = {}
+    try:
+        # alternate the legs and keep each leg's best: shared-host
+        # interference then has to hit BOTH legs to bias the ratio,
+        # instead of silently taxing whichever leg ran in a noisy window
+        for _round in range(2):
+            for cpus in (n_small, n_big):
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--worker-cpus", str(cpus), "--rows", str(n_rows),
+                     "--input-path", f"{shared}/tokens"],
+                    capture_output=True, text=True, cwd=REPO, check=True,
+                )
+                r = json.loads(proc.stdout.strip().splitlines()[-1])
+                if cpus not in results or (
+                    r["tokens_per_sec"] > results[cpus]["tokens_per_sec"]
+                ):
+                    results[cpus] = r
+    finally:
+        shutil.rmtree(shared, ignore_errors=True)
     tp_n = results[n_small]["tokens_per_sec"]
     tp_4n = results[n_big]["tokens_per_sec"]
     factor = n_big / n_small
@@ -336,12 +372,13 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--rows", type=int, default=200_000)
     ap.add_argument("--worker-cpus", type=int, default=None)
+    ap.add_argument("--input-path", default=None)
     ap.add_argument("--sf-dir", default=SF_DIR)
     ap.add_argument("--cpus", type=int, default=CPUS)
     args = ap.parse_args()
 
     if args.worker_cpus is not None:
-        out = run_worker(args.worker_cpus, args.rows)
+        out = run_worker(args.worker_cpus, args.rows, args.input_path)
     elif args.scaling:
         out = run_scaling(args.rows)
     else:
