@@ -166,7 +166,11 @@ def select_bytes(offsets: np.ndarray, data: bytes) -> Choice:
 
     fsst_symbols = None
     avg_len = total / max(1, n)
-    if avg_len <= 256:
+    best_so_far = min(sizes.values())
+    # FSST training is the selector's priciest probe; skip it when an
+    # earlier candidate already beats FSST's practical floor (~35% of
+    # plain — symbol codes are >=1 byte per ~2.9 input bytes on text)
+    if avg_len <= 256 and best_so_far > 0.35 * sizes["ba_plain"]:
         est, fsst_symbols = fsst_encoded_size_estimate(offsets, data)
         sizes["fsst"] = est
 
