@@ -57,9 +57,17 @@ def factorize_bytes(
 
 
 def dict_index_bit_width(n_unique: int) -> int:
-    """bits.Len(uint(len(values))) — the reference sizes the code stream by
-    the dictionary *count*, not count-1 (``types/dict.go:41``)."""
-    return int(n_unique).bit_length()
+    """Bits needed for the largest code, ``(n_unique - 1).bit_length()``.
+
+    Deliberate divergence from the reference, which sizes the code stream
+    by the dictionary *count* (``bits.Len(uint(len(values)))``,
+    ``types/dict.go:41``) and so wastes one bit per value whenever the
+    count is an exact power of two (e.g. 2 values -> 2 bits instead of 1;
+    parquet-mr uses max-code semantics). Our chunks are strictly <= the
+    reference's, and decode always reads the width from the chunk header
+    byte, so both conventions decode correctly.
+    """
+    return max(0, int(n_unique) - 1).bit_length()
 
 
 def dict_encode_codes(codes: np.ndarray, n_unique: int) -> bytes:
