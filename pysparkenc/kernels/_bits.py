@@ -150,10 +150,27 @@ def pack_const_width(values: np.ndarray, bit_width: int) -> bytes:
 
 
 def unpack_const_width(buf: bytes | memoryview, bit_width: int, n: int) -> np.ndarray:
+    """Constant-width unpack without the (n, maxw) uint64 matrix of
+    unpack_varwidth: bit-transpose via unpackbits -> per-row packbits ->
+    zero-extended little-endian uint64 view. Peak memory n*bit_width bytes
+    instead of n*maxw*8 — the varwidth path goes memory-bound on large
+    chunks (a 1.1M-value dict-code stream decoded 6x slower through it)."""
     if bit_width == 0:
         return np.zeros(n, dtype=np.uint64)
-    widths = np.full(n, bit_width, dtype=np.int64)
-    return unpack_varwidth(buf, widths)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    total_bits = n * bit_width
+    if raw.size * 8 < total_bits:
+        raise EOFError("truncated bit-packed payload")
+    bits = np.unpackbits(raw, bitorder="little", count=total_bits).reshape(
+        n, bit_width
+    )
+    packed = np.packbits(bits, axis=1, bitorder="little")
+    nb = packed.shape[1]
+    full = np.zeros((n, 8), dtype=np.uint8)
+    full[:, :nb] = packed
+    return full.view("<u8").ravel()
 
 
 def bit_length_u32(arr: np.ndarray) -> np.ndarray:

@@ -45,6 +45,7 @@ from ._bits import (
     pack_varwidth,
     read_uvarint,
     read_varint,
+    unpack_const_width,
     unpack_varwidth,
     write_uvarint,
     write_varint,
@@ -178,35 +179,61 @@ def delta_bp_decode(
     nd = n - 1
     if nd == 0:
         return out, pos
+    # pass 1: walk block headers, index every miniblock segment
+    # (cheap scalar loop over BLOCKS; the value work is all in pass 2)
     got = 0
-    parts: list[np.ndarray] = []
+    block_mins: list[int] = []
+    mb_by_width: dict[int, tuple[list[int], list[int]]] = {}  # w -> (pos, out0)
+    mb_cursor = 0  # output slot in units of miniblocks
     while got < nd:
         min_delta, pos = read_varint(buf, pos)
+        block_mins.append(min_delta)
         if pos + miniblock_count > len(buf):
             raise EOFError("truncated miniblock width list")
-        bws = np.frombuffer(buf, dtype=np.uint8, count=miniblock_count, offset=pos
-                            ).astype(np.int64)
+        bws = np.frombuffer(buf, dtype=np.uint8, count=miniblock_count,
+                            offset=pos)
         pos += miniblock_count
         if (bws > max_bw).any():
             raise ValueError(f"invalid bit width > {max_bw}")
         remaining = nd - got
         nmb = min(miniblock_count, (remaining + mb_values - 1) // mb_values)
-        per_value_widths = np.repeat(bws[:nmb], mb_values)
-        nbytes = int(per_value_widths.sum()) // 8
-        if pos + nbytes > len(buf):
-            raise EOFError("truncated miniblock payload")
-        rebased = unpack_varwidth(buf[pos : pos + nbytes], per_value_widths)
-        pos += nbytes
-        take = min(remaining, nmb * mb_values)
-        with np.errstate(over="ignore"):
-            block = (
-                rebased[:take].astype(udtype)
-                + udtype(min_delta & ((1 << width) - 1))
-            ).astype(sdtype)
-        parts.append(block)
-        got += take
-    deltas = np.concatenate(parts)
+        for k in range(nmb):
+            w = int(bws[k])
+            nbytes = (w * mb_values) // 8
+            if pos + nbytes > len(buf):
+                raise EOFError("truncated miniblock payload")
+            if w:
+                lst = mb_by_width.setdefault(w, ([], []))
+                lst[0].append(pos)
+                lst[1].append(mb_cursor + k)
+            pos += nbytes
+        got += min(remaining, nmb * mb_values)
+        mb_cursor += miniblock_count
+
+    # pass 2: ONE constant-width unpack per distinct width, scattered into
+    # a padded rebased buffer (zero-width miniblocks stay zero)
+    rebased = np.zeros(mb_cursor * mb_values, dtype=np.uint64)
+    seg_ramp = np.arange(mb_values, dtype=np.int64)
+    for w, (poss, out0s) in mb_by_width.items():
+        nbytes = (w * mb_values) // 8
+        joined = b"".join(buf[p : p + nbytes] for p in poss)
+        vals = unpack_const_width(joined, w, len(poss) * mb_values)
+        idx = (
+            np.asarray(out0s, dtype=np.int64)[:, None] * mb_values + seg_ramp
+        ).ravel()
+        rebased[idx] = vals
+
+    nblocks = len(block_mins)
+    mins = np.asarray(block_mins, dtype=np.int64)
     with np.errstate(over="ignore"):
+        if width == 64:
+            mins_u = mins.astype(udtype)
+        else:
+            mins_u = (mins & ((1 << width) - 1)).astype(udtype)
+        deltas = (
+            rebased[: nblocks * block_size][:nd].astype(udtype)
+            + np.repeat(mins_u, block_size)[:nd]
+        ).astype(sdtype)
         out[1:] = (
             np.cumsum(deltas.astype(udtype), dtype=udtype)
             + udtype(first & ((1 << width) - 1))

@@ -46,6 +46,7 @@ from ._bits import (
     unpack_const_width,
     write_uvarint,
 )
+from .plain import _ramp
 
 RLE_THRESHOLD = 8
 MAX_GROUPS_PER_RUN = 63  # (2^6 - 1) groups => 504 values per 1-byte header
@@ -155,9 +156,14 @@ def hybrid_decode(buf: bytes | memoryview, bit_width: int, n: int) -> np.ndarray
     buf = bytes(buf)
     pos = 0
     got = 0
-    parts: list[np.ndarray] = []
     rle_nbytes = (bit_width + 7) // 8
     limit = (1 << bit_width) - 1
+
+    # pass 1: walk headers only (cheap scalar loop over RUNS, not values)
+    packed_segs: list[tuple[int, int, int, int]] = []  # (pos, nbytes, cnt, out0)
+    rle_vals: list[int] = []
+    rle_cnts: list[int] = []
+    rle_out0: list[int] = []
     while got < n:
         header, pos = read_uvarint(buf, pos)
         if header & 1:
@@ -165,17 +171,14 @@ def hybrid_decode(buf: bytes | memoryview, bit_width: int, n: int) -> np.ndarray
             if groups == 0:
                 raise ValueError("rle: empty bit-packed run")
             nbytes = groups * bit_width
-            chunk = buf[pos : pos + nbytes]
-            if len(chunk) < nbytes:
-                # the reference zero-fills a short final read (Go Read
-                # partial-fill into a zeroed buffer, hybrid-decoder.go:138-149
-                # — exercised by hybrid-decoder_test.go:11-35)
-                if not chunk:
-                    raise EOFError("truncated bit-packed run")
-                chunk = chunk + b"\x00" * (nbytes - len(chunk))
-            vals = unpack_const_width(chunk, bit_width, groups * 8)
+            avail = len(buf) - pos
+            if avail <= 0:
+                raise EOFError("truncated bit-packed run")
+            # the reference zero-fills a short final read (Go Read
+            # partial-fill into a zeroed buffer, hybrid-decoder.go:138-149
+            # — exercised by hybrid-decoder_test.go:11-35)
+            packed_segs.append((pos, min(nbytes, avail), groups * 8, got))
             pos += nbytes
-            parts.append(vals)
             got += groups * 8
         else:
             count = header >> 1
@@ -187,10 +190,37 @@ def hybrid_decode(buf: bytes | memoryview, bit_width: int, n: int) -> np.ndarray
             pos += rle_nbytes
             if value > limit:
                 raise ValueError("rle: RLE run value is too large")
-            parts.append(np.full(count, value, dtype=np.uint64))
+            rle_vals.append(value)
+            rle_cnts.append(count)
+            rle_out0.append(got)
             got += count
-    out = np.concatenate(parts) if parts else np.zeros(0, dtype=np.uint64)
-    return out[:n].astype(np.uint32)
+
+    out = np.zeros(got, dtype=np.uint32)
+
+    # pass 2a: ONE unpack over every bit-packed payload (same width), then
+    # scatter each segment to its output window
+    if packed_segs:
+        joined = b"".join(
+            buf[p : p + nb].ljust(((cnt // 8) * bit_width), b"\x00")
+            for p, nb, cnt, _ in packed_segs
+        )
+        total_cnt = sum(cnt for _, _, cnt, _ in packed_segs)
+        vals = unpack_const_width(joined, bit_width, total_cnt)
+        src = 0
+        for _, _, cnt, out0 in packed_segs:
+            out[out0 : out0 + cnt] = vals[src : src + cnt]
+            src += cnt
+
+    # pass 2b: all RLE runs in one repeat + one fancy-index assignment
+    if rle_vals:
+        cnts = np.asarray(rle_cnts, dtype=np.int64)
+        starts = np.asarray(rle_out0, dtype=np.int64)
+        idx = np.repeat(starts, cnts) + _ramp(cnts)
+        out[idx] = np.repeat(
+            np.asarray(rle_vals, dtype=np.uint32), cnts
+        )
+
+    return out[:n]
 
 
 def hybrid_encode_with_size(values: np.ndarray, bit_width: int) -> bytes:
