@@ -145,8 +145,12 @@ def pack_const_width(values: np.ndarray, bit_width: int) -> bytes:
         return b""
     if values.size % 8:
         raise ValueError("pack_const_width requires multiple-of-8 input")
-    widths = np.full(values.size, bit_width, dtype=np.int64)
-    return pack_varwidth(values, widths)
+    # mirror of unpack_const_width: uint64 -> (n, 8) LE bytes ->
+    # per-row unpackbits -> keep bit_width bits -> one packbits pass
+    vals = np.ascontiguousarray(values).astype("<u8", copy=False)
+    rows = vals.view(np.uint8).reshape(-1, 8)
+    bits = np.unpackbits(rows, axis=1, bitorder="little")[:, :bit_width]
+    return np.packbits(bits.ravel(), bitorder="little").tobytes()
 
 
 def unpack_const_width(buf: bytes | memoryview, bit_width: int, n: int) -> np.ndarray:
