@@ -271,7 +271,7 @@ def run_scaling(n_rows: int, n_small: int = 2, n_big: int = 8) -> dict:
         # alternate the legs and keep each leg's best: shared-host
         # interference then has to hit BOTH legs to bias the ratio,
         # instead of silently taxing whichever leg ran in a noisy window
-        for _round in range(2):
+        for _round in range(3):
             for cpus in (n_small, n_big):
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),

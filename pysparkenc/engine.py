@@ -150,7 +150,9 @@ def plan_partitions(
     sized by row count, salted within the range by the remaining keys."""
     key0 = partition_by[0]
     salt_keys = list(partition_by[1:]) or [key0]
-    counts = df.groupBy(key0).count().orderBy(key0).collect()
+    # sort driver-side: the count result is tiny (one row per distinct
+    # leading key) and a Spark orderBy would add a whole sort stage
+    counts = sorted(df.groupBy(key0).count().collect(), key=lambda r: r[key0])
     if len(counts) > 100_000:
         raise ValueError(
             f"partition key {key0} has {len(counts)} distinct values; "
