@@ -126,3 +126,28 @@ def test_skew_plan_balances_partitions(spark, tokens_df):
     # no partition dominates: max <= 6x median
     median = vals[len(vals) // 2]
     assert vals[-1] <= 6 * median
+
+
+def test_empty_table_roundtrip(spark):
+    from pysparkenc.engine import decode_table, encode_table
+    from pysparkenc.synth import make_tokens_table
+
+    df = make_tokens_table(spark, 50, seed=1)
+    empty = df.where("n_tok < 0")
+    chunks = encode_table(empty, partition_by=("source", "doc_id"),
+                          num_partitions=4)
+    assert chunks.count() == 0
+    assert decode_table(chunks, df.schema).count() == 0
+
+
+def test_single_row_roundtrip(spark):
+    from pysparkenc.engine import decode_table, encode_table
+    from pysparkenc.synth import make_tokens_table
+
+    df = make_tokens_table(spark, 1, seed=2)
+    chunks = encode_table(df, partition_by=("source", "doc_id"),
+                          num_partitions=4)
+    out = decode_table(chunks, df.schema)
+    assert [r["tokens"] for r in out.collect()] == [
+        r["tokens"] for r in df.collect()
+    ]
