@@ -111,8 +111,28 @@ class EncodedChunk:
 
 
 def _stats_numeric(values: np.ndarray) -> tuple[float | None, float | None]:
+    """Chunk min/max under Spark's NaN-greatest ordering.
+
+    Plain ``values.min()/max()`` would both become NaN if any value is NaN
+    and pruning would silently drop in-range chunks (parquet writers skip
+    NaN in stats for the same reason). Instead:
+    - num_min = nanmin: the true smallest value (NaN sorts greatest, so it
+      can never be the min unless the chunk is all-NaN);
+    - num_max = plain max: NaN when any NaN is present — semantically the
+      max under NaN-greatest ordering, and ``prune_chunks`` treats a NaN
+      max as "unbounded above" so lo-bounded scans keep the chunk.
+    """
     if values.size == 0:
         return None, None
+    if values.dtype.kind == "f":
+        vmax = float(values.max())
+        finite_mask_needed = np.isnan(vmax)
+        if finite_mask_needed:
+            non_nan = values[~np.isnan(values)]
+            vmin = float(non_nan.min()) if non_nan.size else float("nan")
+        else:
+            vmin = float(values.min())
+        return vmin, vmax
     return float(values.min()), float(values.max())
 
 

@@ -1,12 +1,18 @@
 """spark-submit entrypoint (north_rule: "run via spark-submit --py-files
 on a multi-executor cluster").
 
-Usage (cluster):
+Usage (cluster) — spark-submit takes a primary script, not a module flag,
+so ship a two-line entry script alongside the zipped package:
+
     zip -r pysparkenc.zip pysparkenc
-    spark-submit --py-files pysparkenc.zip -m pysparkenc.cli  encode \
+    printf 'from pysparkenc.cli import main\nraise SystemExit(main())\n' \
+        > run_pysparkenc.py
+    spark-submit --py-files pysparkenc.zip run_pysparkenc.py encode \
         --input  s3://bucket/tokens_table/ \
         --output s3://bucket/encoded/ \
         --partition-by source,doc_id --num-partitions 4096 --resume
+
+Local runs: ``python -m pysparkenc.cli encode ...``.
 
 Subcommands:
     encode  parquet/Iceberg table -> encoded chunks + lineage (resumable)

@@ -151,8 +151,12 @@ def plan_partitions(
     key0 = partition_by[0]
     salt_keys = list(partition_by[1:]) or [key0]
     # sort driver-side: the count result is tiny (one row per distinct
-    # leading key) and a Spark orderBy would add a whole sort stage
-    counts = sorted(df.groupBy(key0).count().collect(), key=lambda r: r[key0])
+    # leading key) and a Spark orderBy would add a whole sort stage;
+    # null-safe key — a nullable leading key must not TypeError here
+    counts = sorted(
+        df.groupBy(key0).count().collect(),
+        key=lambda r: (r[key0] is None, r[key0]),
+    )
     if len(counts) > 100_000:
         raise ValueError(
             f"partition key {key0} has {len(counts)} distinct values; "
@@ -173,14 +177,18 @@ def plan_partitions(
             StructField("__buckets", IntegerType(), False),
         ]
     )
-    plan = spark.createDataFrame(plan_rows, schema=plan_schema)
+    plan = spark.createDataFrame(plan_rows, schema=plan_schema).withColumnRenamed(
+        key0, "__k0"
+    )
     salted = F.pmod(
         F.abs(F.xxhash64(*[F.col(c) for c in salt_keys])), F.col("__buckets")
     )
+    # eqNullSafe: a nullable leading key still gets its bucket range (an
+    # inner equi-join would silently drop null-key rows)
     return (
-        df.join(F.broadcast(plan), key0)
+        df.join(F.broadcast(plan), F.col(key0).eqNullSafe(F.col("__k0")))
         .withColumn("part_id", (F.col("__offset") + salted).cast("long"))
-        .drop("__offset", "__buckets")
+        .drop("__k0", "__offset", "__buckets")
     )
 
 
@@ -500,10 +508,18 @@ def prune_chunks(
         "part_id", "chunk_id", "num_min", "num_max"
     )
     cond = F.lit(True)
+    # NaN/null stats mean "can't bound this chunk" (all-NaN chunk, or a
+    # float chunk containing NaN stores num_max = NaN — see
+    # chunk._stats_numeric): keep it rather than silently dropping rows.
+    # num_min = NaN only for all-NaN chunks; such rows can never satisfy
+    # `col <= hi` under Spark's NaN-greatest ordering, so pruning them on
+    # the hi bound is exact.
     if lo is not None:
-        cond = cond & (F.col("num_max") >= float(lo))
+        mx = F.col("num_max")
+        cond = cond & (mx.isNull() | F.isnan(mx) | (mx >= float(lo)))
     if hi is not None:
-        cond = cond & (F.col("num_min") <= float(hi))
+        mn = F.col("num_min")
+        cond = cond & (mn.isNull() | (~F.isnan(mn) & (mn <= float(hi))))
     keep = stats.where(cond).select("part_id", "chunk_id")
     return chunks_df.join(F.broadcast(keep), ["part_id", "chunk_id"],
                           "left_semi")

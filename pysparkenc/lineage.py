@@ -42,6 +42,7 @@ from .engine import encode_table
 LINEAGE_SCHEMA = StructType(
     [
         StructField("run_id", LongType(), False),
+        StructField("batch_id", LongType(), False),  # -1 for batch-mode runs
         StructField("part_id", LongType(), False),
         StructField("n_rows", LongType(), False),
         StructField("n_values", LongType(), False),
@@ -117,6 +118,7 @@ def encode_with_lineage(
     codec: str | dict[str, str] | None = None,
     resume: bool = True,
     drop_part_ids: frozenset[int] | None = None,
+    batch_id: int | None = None,
 ) -> dict:
     """Encode ``df`` into ``path`` with per-partition lineage; resumable.
 
@@ -124,9 +126,37 @@ def encode_with_lineage(
     those partitions' output is discarded before commit, simulating a job
     killed after a partial run — the next call with ``resume=True``
     encodes only the missing partitions.
+
+    ``batch_id`` makes the whole call idempotent per source micro-batch:
+    Spark's ``foreachBatch`` is at-least-once, so a batch whose encode
+    fully committed but whose *streaming checkpoint offset* was lost gets
+    replayed with the same batch_id — and must become a no-op, or readers
+    see every row twice. A committed batch is detected by its done lineage
+    rows; the pre-commit crash window is still covered by the
+    chunks-then-lineage protocol (orphan chunks stay invisible).
     """
     spark = df.sparkSession
     t0 = time.time()
+    if batch_id is not None:
+        already = (
+            read_lineage(spark, path)
+            .where((F.col("batch_id") == int(batch_id)) & (F.col("status") == "done"))
+            .count()
+        )
+        if already:
+            return {
+                "run_id": -1,
+                "batch_id": int(batch_id),
+                "wall_sec": time.time() - t0,
+                "partitions": 0,
+                "rows": 0,
+                "values": 0,
+                "plain_bytes": 0,
+                "enc_bytes": 0,
+                "skipped_partitions": int(already),
+                "compression_ratio": 1.0,
+                "replayed_batch": True,
+            }
     run_id = _next_run_id(spark, path)
     chunks = encode_table(
         df, partition_by=partition_by, num_partitions=num_partitions, codec=codec
@@ -168,7 +198,11 @@ def encode_with_lineage(
         F.sum("g_chunks").cast("long").alias("n_chunks"),
         F.lit(float(wall)).alias("wall_sec"),
         F.lit("done").alias("status"),
-    ).select(F.lit(run_id).cast("long").alias("run_id"), "*")
+    ).select(
+        F.lit(run_id).cast("long").alias("run_id"),
+        F.lit(-1 if batch_id is None else int(batch_id)).cast("long").alias("batch_id"),
+        "*",
+    )
     lin.write.mode("append").parquet(_lineage_dir(path))
 
     agg = lin.agg(

@@ -80,15 +80,19 @@ def select_numeric(
 
     if compression and dtype.startswith("float"):
         # BYTE_STREAM_SPLIT is plain-sized raw and only wins under block
-        # compression, so compare plain vs bss on the *compressed* sample
-        # (zlib level 1 as a cheap, codec-agnostic compressibility probe)
+        # compression. The zlib level-1 probe is used ONLY to break the
+        # plain-vs-bss tie; every entry in `sizes` stays an *uncompressed*
+        # size so the min() below compares commensurable numbers (a raw
+        # dict_rle estimate vs a compressed plain estimate would misselect).
         import zlib
 
         from .kernels.bss import bss_encode
 
         raw = np.ascontiguousarray(s, dtype=f"<{'f4' if w == 4 else 'f8'}")
-        sizes["plain"] = int(len(zlib.compress(raw.tobytes(), 1)) * scale)
-        sizes["bss"] = int(len(zlib.compress(bss_encode(s, dtype), 1)) * scale)
+        plain_probe = len(zlib.compress(raw.tobytes(), 1))
+        bss_probe = len(zlib.compress(bss_encode(s, dtype), 1))
+        if bss_probe < plain_probe:
+            sizes["bss"] = plain - 1  # same raw size; wins the tie vs plain
 
     if is_int:
         width = 32 if dtype == "int32" else 64

@@ -6,11 +6,15 @@ needs: new token files land in a directory (or Kafka/Iceberg feed), each
 micro-batch is encoded with the full batch engine — salted partitioning,
 codec auto-selection, per-partition lineage — via ``foreachBatch``.
 
-Exactly-once comes from two cooperating mechanisms:
+Exactly-once comes from three cooperating mechanisms:
 - Spark's streaming checkpoint replays a failed micro-batch;
 - the lineage commit protocol (chunks first, lineage row after) makes a
-  replayed batch's orphan chunks invisible to readers, so replays never
-  double-count (``lineage.read_committed_chunks``).
+  *partially-written* batch's orphan chunks invisible to readers
+  (``lineage.read_committed_chunks``);
+- per-``batch_id`` idempotency closes the remaining at-least-once window:
+  if a batch fully committed but the job died before Spark persisted the
+  checkpoint offset, the replayed batch finds its done lineage rows and
+  no-ops instead of committing twice.
 
 ``foreachBatch`` (not a streaming mapInArrow) is deliberate: the skew plan
 in ``plan_partitions`` needs a per-batch aggregate, which is exactly the
@@ -48,9 +52,9 @@ def encode_stream(
         if batch_df.isEmpty():
             return
         # resume=False: each micro-batch is new data; dedup across replays
-        # is handled by the chunks-then-lineage commit protocol, not by
-        # the batch-mode part_id anti-join (which would skip fresh rows
-        # that hash into already-used partitions).
+        # is handled per batch_id — foreachBatch is at-least-once, so a
+        # replay of a fully-committed batch (checkpoint offset lost after
+        # the lineage commit) must no-op instead of double-encoding.
         encode_with_lineage(
             batch_df,
             path,
@@ -58,6 +62,7 @@ def encode_stream(
             num_partitions=num_partitions,
             codec=codec,
             resume=False,
+            batch_id=batch_id,
         )
 
     writer = stream_df.writeStream.foreachBatch(process).option(

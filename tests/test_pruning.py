@@ -40,6 +40,41 @@ def test_pruning_drops_groups_and_matches_exact(spark):
     df.unpersist()
 
 
+def test_pruning_keeps_chunks_with_nan_values(spark):
+    """A float chunk containing NaN must not be pruned out of a range that
+    overlaps its real values (ADVICE r1: min()/max() stats went NaN and the
+    whole group vanished). Spark orders NaN greater than every number, so
+    NaN rows legitimately pass lo-only filters too."""
+    import math
+
+    rows = [(1, 1.0), (2, float("nan")), (3, 5.0), (4, 100.0), (5, float("nan"))]
+    df = spark.createDataFrame(rows, "id long, x double")
+    chunks = encode_table(df, num_partitions=1)
+    chunks.cache().count()
+
+    # range [0, 10] overlaps {1.0, 5.0}: the NaN-bearing chunk must survive
+    got = {r["id"]: r["x"] for r in
+           decode_table_where(chunks, df.schema, "x", 0, 10).collect()}
+    assert set(got) == {1, 3}
+
+    # lo-only filter: NaN rows sort greatest, so they pass `x >= 50`
+    got_lo = {r["id"] for r in
+              decode_table_where(chunks, df.schema, "x", 50, None).collect()}
+    assert got_lo == {2, 4, 5}
+
+    # all-NaN chunk: prunable on any hi bound, kept on lo-only
+    df2 = spark.createDataFrame([(1, float("nan")), (2, float("nan"))],
+                                "id long, x double")
+    ck2 = encode_table(df2, num_partitions=1)
+    ck2.cache().count()
+    assert decode_table_where(ck2, df2.schema, "x", 0, 10).count() == 0
+    lo_only = decode_table_where(ck2, df2.schema, "x", 0, None).collect()
+    assert {r["id"] for r in lo_only} == {1, 2}
+    assert all(math.isnan(r["x"]) for r in lo_only)
+    ck2.unpersist()
+    chunks.unpersist()
+
+
 def test_pruning_empty_range_decodes_nothing(spark):
     df = make_tokens_table(spark, 500, seed=14)
     chunks = encode_table(df, partition_by=("source", "doc_id"),

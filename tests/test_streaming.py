@@ -56,6 +56,31 @@ def test_stream_encode_and_incremental_restart(spark, tmp_path):
     assert decoded.count() == len(expected)
 
 
+def test_replayed_batch_id_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a replay of a fully-committed batch
+    (same batch_id, checkpoint offset lost) must no-op — readers must not
+    see duplicate rows."""
+    from pysparkenc.lineage import encode_with_lineage
+
+    enc = str(tmp_path / "enc")
+    df = make_tokens_table(spark, 200, seed=31)
+    df.cache().count()
+
+    m1 = encode_with_lineage(df, enc, partition_by=("source", "doc_id"),
+                             num_partitions=4, resume=False, batch_id=7)
+    assert m1["rows"] == 200
+
+    # simulate the replay: same batch_id, same data
+    m2 = encode_with_lineage(df, enc, partition_by=("source", "doc_id"),
+                             num_partitions=4, resume=False, batch_id=7)
+    assert m2.get("replayed_batch") is True
+    assert m2["rows"] == 0
+
+    decoded = decode_table(read_committed_chunks(spark, enc), df.schema)
+    assert decoded.count() == 200
+    df.unpersist()
+
+
 def test_stream_rejects_batch_frame(spark, tmp_path):
     import pytest
 
