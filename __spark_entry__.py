@@ -198,6 +198,44 @@ def q_roundtrip_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_roundtrip_nullable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nullable columns end-to-end: derive null-bearing string/int/double/
+    bool columns from documents with deterministic predicates, round-trip
+    them through the engine (each null-bearing chunk carries a `{col}#def`
+    validity chunk via the boolean codecs), and return the decoded rows.
+    The oracle mirrors the derivation with CASE — so every null position
+    AND every surviving value is hash-checked."""
+    df = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("n_chars") % 7 != 0, F.col("text")).alias("text_n"),
+        F.when(F.col("n_chars") % 5 != 0, F.col("n_chars")).alias("n_chars_n"),
+        F.when(F.col("n_chars") % 3 != 0, F.col("n_chars") / 2.0).alias("ratio_n"),
+        F.when(F.col("n_chars") % 2 == 0, F.col("n_chars") % 4 == 0).alias("flag_n"),
+        F.when(F.col("n_chars") % 11 != 0, F.col("source")).alias("source_n"),
+    )
+    chunks = encode_table(df, partition_by=("source_n", "doc_id"))
+    return decode_table(chunks, df.schema)
+
+
+def q_roundtrip_bools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-codec oracle coverage (no driver table has a bool column):
+    derive three bool columns from events — mixed (bool_plain territory),
+    constant and sparse (bool_rle) — force one codec each so BOTH boolean
+    codecs are exercised under the value-hash gate."""
+    df = _read(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("value") > 0).alias("is_pos"),
+        (F.col("event_id") >= 0).alias("always_true"),
+        (F.col("event_id") % 16 == 0).alias("sparse"),
+    )
+    chunks = encode_table(
+        df,
+        codec={"is_pos": "bool_plain", "always_true": "bool_rle",
+               "sparse": "bool_rle"},
+    )
+    return decode_table(chunks, df.schema)
+
+
 def q_footer_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _read(spark, sf_dir, "lineitem").select(*_LINEITEM_NUM_COLS)
     meta = footer(encode_table(df))
@@ -405,6 +443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_part": q_roundtrip_part,
         "roundtrip_supplier": q_roundtrip_supplier,
         "roundtrip_embeddings": q_roundtrip_embeddings,
+        "roundtrip_nullable": q_roundtrip_nullable,
+        "roundtrip_bools": q_roundtrip_bools,
         "footer_stats_lineitem": q_footer_stats_lineitem,
         "pruned_range_scan": q_pruned_range_scan,
         "dedup_exact": q_dedup_exact,
@@ -485,6 +525,19 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(list_sum(list_transform(embedding, "
             "x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT))), 0)::BIGINT "
             "AS emb_sum_e6 FROM embeddings"
+        ),
+        "roundtrip_nullable": (
+            "SELECT doc_id, "
+            "CASE WHEN n_chars % 7 <> 0 THEN text END AS text_n, "
+            "CASE WHEN n_chars % 5 <> 0 THEN n_chars END AS n_chars_n, "
+            "CASE WHEN n_chars % 3 <> 0 THEN n_chars / 2.0 END AS ratio_n, "
+            "CASE WHEN n_chars % 2 = 0 THEN (n_chars % 4 = 0) END AS flag_n, "
+            "CASE WHEN n_chars % 11 <> 0 THEN source END AS source_n "
+            "FROM documents"
+        ),
+        "roundtrip_bools": (
+            "SELECT event_id, value > 0 AS is_pos, event_id >= 0 AS always_true, "
+            "event_id % 16 = 0 AS sparse FROM events"
         ),
         "footer_stats_lineitem": footer_union,
         "pruned_range_scan": (

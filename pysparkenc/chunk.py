@@ -143,6 +143,10 @@ def encode_numeric(
     n = values.size
     choice: Choice | None = None
     if codec is None:
+        # n == 0 happens for all-null columns (values fully compacted
+        # away); the selector's candidates assume at least one value
+        codec = "plain" if n == 0 else None
+    if codec is None:
         choice = select_numeric(values, dtype, compression)
         codec = choice.codec
     plain_bytes = n * _ITEM[dtype]
@@ -207,6 +211,8 @@ def encode_bytes(
 ) -> EncodedChunk:
     n = offsets.size - 1
     choice: Choice | None = None
+    if codec is None and n == 0:
+        codec = "ba_plain"  # all-null column: no values to select over
     if codec is None:
         choice = select_bytes(offsets, data_buf)
         codec = choice.codec

@@ -209,10 +209,22 @@ def _encode_arrow_batch(
     out_rows: list[dict] = []
     for name, idx, logical in cols:
         arr = batch.column(batch.schema.get_field_index(name))
-        if arr.null_count:
-            raise ValueError(f"column {name}: nulls not supported (input_hint)")
+        null_count = arr.null_count
+        if null_count:
+            # Nullable column: the reference expresses NULLs through
+            # definition levels (datastore/column.go:136-142); for flat
+            # columns max-def-level is 1, so the level stream collapses to
+            # a validity bitvector. Store it as a sibling `{name}#def`
+            # chunk through the boolean codecs (RLE shines: null runs are
+            # long in real data) and encode only the non-null values.
+            valid = arr.is_valid().to_numpy(zero_copy_only=False)
+            arr = arr.drop_null()
+            vk = chunklib.encode_bool(
+                f"{name}#def", valid, codec_for.get(f"{name}#def")
+            )
+            out_rows.append(_chunk_row(vk, part_id, chunk_id, group_key,
+                                       idx, "bool", n_rows, compression))
         codec = codec_for.get(name)
-        extra_fields: dict = {}
         if logical.startswith("list<"):
             child_logical = logical[5:-1]
             if isinstance(arr, pa.ChunkedArray):
@@ -225,6 +237,7 @@ def _encode_arrow_batch(
             lengths = np.diff(offsets).astype(np.int32)
             ck = chunklib.encode_numeric(name, values, child_logical, codec,
                                          compression=compression)
+            ck.null_count = null_count
             lk = chunklib.encode_numeric(f"{name}#len", lengths, "int32",
                                          codec_for.get(f"{name}#len"))
             for c, lg in ((ck, logical), (lk, "int32")):
@@ -239,11 +252,13 @@ def _encode_arrow_batch(
                 values = arr.to_numpy(zero_copy_only=False)
             ck = chunklib.encode_numeric(name, values, phys, codec,
                                          compression=compression)
+            ck.null_count = null_count
             out_rows.append(_chunk_row(ck, part_id, chunk_id, group_key, idx,
                                        logical, n_rows, compression))
         elif logical == "bool":
             values = arr.to_numpy(zero_copy_only=False)
             ck = chunklib.encode_bool(name, values, codec)
+            ck.null_count = null_count
             out_rows.append(_chunk_row(ck, part_id, chunk_id, group_key, idx,
                                        logical, n_rows, compression))
         elif logical in ("string", "binary"):
@@ -262,6 +277,7 @@ def _encode_arrow_batch(
                 data_buf = b""
             offsets = offsets - offsets[0]
             ck = chunklib.encode_bytes(name, offsets, data_buf, codec)
+            ck.null_count = null_count
             out_rows.append(_chunk_row(ck, part_id, chunk_id, group_key, idx,
                                        logical, n_rows, compression))
         else:
@@ -413,16 +429,21 @@ def _spark_type_of(logical: str):
 
 
 def output_schema_of_chunks(chunks_df: DataFrame) -> StructType:
-    """Recover the original table schema from chunk metadata."""
+    """Recover the original table schema from chunk metadata (a column is
+    nullable iff any of its chunks recorded nulls)."""
     meta = (
-        chunks_df.select("col", "col_idx", "logical")
-        .where(~F.col("col").endswith("#len"))
-        .distinct()
+        chunks_df.select("col", "col_idx", "logical", "null_count")
+        .where(~F.col("col").endswith("#len") & ~F.col("col").endswith("#def"))
+        .groupBy("col", "col_idx", "logical")
+        .agg(F.max("null_count").alias("nc"))
         .orderBy("col_idx")
         .collect()
     )
     return StructType(
-        [StructField(r["col"], _spark_type_of(r["logical"]), False) for r in meta]
+        [
+            StructField(r["col"], _spark_type_of(r["logical"]), r["nc"] > 0)
+            for r in meta
+        ]
     )
 
 
@@ -436,42 +457,107 @@ def decode_table(chunks_df: DataFrame, schema: StructType | None = None) -> Data
         [(n, _arrow_type_of(logicals[n])) for n in names]
     )
 
+    meta_cols = ("col", "codec", "dtype", "n_rows", "n_values", "null_count",
+                 "n_unique", "bit_width", "crc32", "extra")
+
+    def _chunks_by_col(table: pa.Table) -> dict[str, dict]:
+        """One dict per chunk row, payloads as zero-copy memoryviews — the
+        binary column's buffers are referenced in place instead of being
+        copied into Python bytes per row (the one avoidable copy on the
+        decode hot path)."""
+        metas = {c: table.column(c).to_pylist() for c in meta_cols}
+        data_arr = table.column("data").combine_chunks()
+        aux_arr = table.column("aux").combine_chunks()
+        by_col: dict[str, dict] = {}
+        for i in range(table.num_rows):
+            d = {c: metas[c][i] for c in meta_cols}
+            d["data"] = memoryview(data_arr[i].as_buffer())
+            d["aux"] = (
+                memoryview(aux_arr[i].as_buffer()) if aux_arr[i].is_valid else None
+            )
+            by_col[d["col"]] = d
+        return by_col
+
     def decode_group(table: pa.Table) -> pa.Table:
-        rows = table.to_pylist()
-        by_col = {r["col"]: r for r in rows}
+        by_col = _chunks_by_col(table)
         arrays = []
         for name in names:
             logical = logicals[name]
             ck = by_col[name]
+            n_rows = int(ck["n_rows"])
+            defck = by_col.get(f"{name}#def")
+            # validity vector (True = present) from the definition chunk;
+            # absent when the chunk was encoded without nulls
+            valid = chunklib.decode_bool(defck) if defck is not None else None
+            nulls = ~valid if valid is not None else None
             if logical.startswith("list<"):
                 child = logical[5:-1]
-                values = chunklib.decode_numeric(
-                    {**ck, "dtype": child}
-                )
+                values = chunklib.decode_numeric({**ck, "dtype": child})
                 lk = by_col[f"{name}#len"]
                 lengths = chunklib.decode_numeric({**lk, "dtype": "int32"})
-                offsets = np.zeros(lengths.size + 1, dtype=np.int32)
-                np.cumsum(lengths, out=offsets[1:])
+                if valid is not None:
+                    full_len = np.zeros(n_rows, dtype=np.int64)
+                    full_len[valid] = lengths
+                else:
+                    full_len = lengths
+                offsets = np.zeros(full_len.size + 1, dtype=np.int32)
+                np.cumsum(full_len, out=offsets[1:])
+                off_pa = (
+                    pa.array(offsets, type=pa.int32())
+                    if nulls is None
+                    else pa.array(
+                        offsets, type=pa.int32(),
+                        mask=np.concatenate([nulls, [False]]),
+                    )
+                )
                 arrays.append(
                     pa.ListArray.from_arrays(
-                        pa.array(offsets, type=pa.int32()),
-                        pa.array(values, type=_arrow_type_of(child)),
+                        off_pa, pa.array(values, type=_arrow_type_of(child))
                     )
                 )
             elif logical in ("int32", "int64", "float32", "float64", "timestamp_us",
                              "timestamp_ntz_us"):
                 phys = "int64" if logical.startswith("timestamp") else logical
                 vals = chunklib.decode_numeric({**ck, "dtype": phys})
-                arrays.append(pa.array(vals).cast(_arrow_type_of(logical)))
+                if valid is not None:
+                    full = np.zeros(n_rows, dtype=vals.dtype)
+                    full[valid] = vals
+                    arr = pa.array(full, mask=nulls)
+                else:
+                    arr = pa.array(vals)
+                arrays.append(arr.cast(_arrow_type_of(logical)))
             elif logical == "bool":
-                arrays.append(pa.array(chunklib.decode_bool(ck)))
+                vals = chunklib.decode_bool(ck)
+                if valid is not None:
+                    full = np.zeros(n_rows, dtype=bool)
+                    full[valid] = vals
+                    arrays.append(pa.array(full, mask=nulls))
+                else:
+                    arrays.append(pa.array(vals))
             else:
                 offsets, data = chunklib.decode_bytes(ck)
-                ba = pa.LargeBinaryArray.from_buffers(
-                    pa.large_binary(),
-                    offsets.size - 1,
-                    [None, pa.py_buffer(offsets.astype(np.int64)), pa.py_buffer(data)],
-                )
+                if valid is not None:
+                    lens = np.diff(offsets)
+                    full_len = np.zeros(n_rows, dtype=np.int64)
+                    full_len[valid] = lens
+                    offsets = np.zeros(n_rows + 1, dtype=np.int64)
+                    np.cumsum(full_len, out=offsets[1:])
+                    validity_buf = pa.py_buffer(
+                        np.packbits(valid, bitorder="little")
+                    )
+                    bufs = [validity_buf, pa.py_buffer(offsets),
+                            pa.py_buffer(data)]
+                    ba = pa.LargeBinaryArray.from_buffers(
+                        pa.large_binary(), n_rows, bufs,
+                        null_count=int(nulls.sum()),
+                    )
+                else:
+                    ba = pa.LargeBinaryArray.from_buffers(
+                        pa.large_binary(),
+                        offsets.size - 1,
+                        [None, pa.py_buffer(offsets.astype(np.int64)),
+                         pa.py_buffer(data)],
+                    )
                 arrays.append(ba.cast(_arrow_type_of(logical)))
         return pa.Table.from_arrays(arrays, schema=out_pa_schema)
 

@@ -43,6 +43,8 @@ def factorize_bytes(
     Returns (codes int32, dict_offsets int64, dict_data).
     """
     n = offsets.size - 1
+    if n == 0:
+        return (np.empty(0, dtype=np.int32), np.zeros(1, dtype=np.int64), b"")
     raw = np.frombuffer(data, dtype=np.uint8)
     views = np.split(raw, offsets[1:-1]) if n > 1 else [raw[offsets[0]:offsets[-1]]]
     objs = np.empty(n, dtype=object)
