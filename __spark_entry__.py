@@ -39,6 +39,7 @@ P31 = tx.MERSENNE31
 # ---------------------------------------------------------------------------
 
 _WS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
+_H60 = "CAST('0x' || substring(md5({x}), 1, 15) AS BIGINT)"
 _H31 = "(CAST('0x' || substring(md5({x}), 1, 15) AS BIGINT) % 2147483647)"
 
 _SHINGLES = (
@@ -83,9 +84,9 @@ pairs AS (
     )
 
 
-def _simhash_expr() -> str:
+def _simhash_expr(bits: int = 60) -> str:
     terms = []
-    for b in range(31):
+    for b in range(bits):
         vote = (
             f"coalesce(list_sum(list_transform(hs, v -> "
             f"CASE WHEN (v >> {b}) & 1 = 1 THEN 1 ELSE -1 END)), 0)"
@@ -609,21 +610,23 @@ FROM pairs JOIN sh sa ON sa.doc_id = pairs.doc_a
 """,
         "simhash": f"""
 WITH w AS (SELECT doc_id, {_WS} AS ws FROM documents),
-h AS (SELECT doc_id, list_transform(ws, t -> {_H31.format(x='t')}) AS hs FROM w)
+h AS (SELECT doc_id, list_transform(ws, t -> {_H60.format(x='t')}) AS hs FROM w)
 SELECT doc_id, {sim_expr}::BIGINT AS simhash FROM h
 """,
         "simhash_dup_pairs": f"""
 WITH w AS (SELECT doc_id, {_WS} AS ws FROM documents),
-h AS (SELECT doc_id, list_transform(ws, t -> {_H31.format(x='t')}) AS hs FROM w),
+h AS (SELECT doc_id, list_transform(ws, t -> {_H60.format(x='t')}) AS hs FROM w),
 s AS (SELECT doc_id, {sim_expr}::BIGINT AS simhash FROM h),
 e AS (
-  SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS key
+  SELECT doc_id, simhash, b.band, (simhash >> (b.band * 15)) & 32767 AS key
   FROM s, (SELECT unnest(range(0, 4)) AS band) b
 ),
+bc AS (SELECT band, key, count(*) AS c FROM e GROUP BY band, key),
+ep AS (SELECT e.* FROM e JOIN bc USING (band, key) WHERE c <= 10000),
 cand AS (
   SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
          l.simhash AS sim_a, r.simhash AS sim_b
-  FROM e l JOIN e r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+  FROM ep l JOIN ep r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
 )
 SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b))::BIGINT AS hamming
 FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3

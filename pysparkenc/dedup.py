@@ -4,7 +4,7 @@ Five families, all expressed over the `documents` / `embeddings` tables:
 
 - exact:   md5-groupBy (map-side partial agg, one shuffle on a 128-bit key)
 - MinHash: shingle -> k permuted min-hashes -> banded LSH bucket join
-- SimHash: 31-bit sign-aggregated fingerprint, Hamming-bucket candidates
+- SimHash: 60-bit sign-aggregated fingerprint, banded Hamming candidates
 - n-gram Jaccard: exact set similarity used to *verify* LSH candidates
 - embedding near-dup: cosine over `array<float>` (see similarity.py)
 
@@ -176,40 +176,71 @@ def ngram_jaccard_pairs(
     return out
 
 
-def simhash(df: DataFrame, text_col: str = "text", bits: int = 31) -> DataFrame:
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 60) -> DataFrame:
     """SimHash fingerprint: per bit, sign of sum over word-hashes of ±1.
 
     Weighted by word frequency implicitly (repeated words counted per
-    occurrence). 31 bits so every intermediate fits int64 portably.
+    occurrence). 60 bits (the full portable md5-prefix hash): wide enough
+    that 4 LSH bands get 15 bits each — 32768 distinct keys per band —
+    while every intermediate still fits an int64 portably.
     """
     ws = words(F.col(text_col))
-    hs_expr = F.transform(ws, lambda w: F.pmod(portable_hash60(w), F.lit(MERSENNE31)))
-    # own projection: md5-per-word array is referenced by all `bits` votes
+    hs_expr = F.transform(ws, lambda w: portable_hash60(w))
+    if bits > 60:
+        raise ValueError("simhash supports at most 60 bits (portable hash width)")
+    # own projection: md5-per-word array is computed once (CollapseProject
+    # keeps non-cheap exprs single)
     hashed = df.select("doc_id", hs_expr.alias("hs"))
-    hs = F.col("hs")
-    def _vote_merge(b: int):
-        def merge(acc, h):
-            return acc + F.when(
-                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-
-        return merge
-
-    sim = F.lit(0).cast("long")
-    for b in range(bits):
-        vote = F.aggregate(hs, F.lit(0).cast("long"), _vote_merge(b))
-        sim = sim + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+    # Single aggregate pass building the per-bit vote vector: the naive
+    # form — one F.aggregate fold per bit — is O(bits) copies of the hs
+    # scan in the expression tree, and at 60 bits Catalyst planning/codegen
+    # alone took ~30s. Here the tree size is independent of `bits`.
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    votes = F.aggregate(
+        F.col("hs"),
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                powers,
+                lambda p: F.when(h.bitwiseAND(p) != 0, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("long"),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            votes,
+            powers,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
     return hashed.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_dup_pairs(
-    df: DataFrame, text_col: str = "text", max_hamming: int = 3, bits: int = 31
+    df: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 60,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Near-dup candidates: docs whose SimHashes agree on one of 4 bit-bands
     (pigeonhole: hamming<=3 over 4 bands => at least one band identical),
-    verified by exact Hamming distance <= max_hamming."""
+    verified by exact Hamming distance <= max_hamming.
+
+    Scale shape: 60-bit fingerprints give 15-bit bands — 2^15 keys per
+    band, so random (non-duplicate) docs spread over ~131k buckets instead
+    of the 1024 an 8-bit banding allows (r1's O(n^2/256) collapse). On top
+    of that, buckets larger than ``max_bucket`` are dropped entirely —
+    same degenerate-key guard as :func:`minhash_lsh_pairs`: a million-doc
+    bucket means a pathological band (e.g. all-empty docs), not a million
+    real duplicates, and the self-join must not quadratically explode.
+    """
     sig = simhash(df, text_col, bits)
     band_width = (bits + 3) // 4
     bcols = []
@@ -225,6 +256,10 @@ def simhash_dup_pairs(
     expl = sig.select(
         "doc_id", "simhash", F.explode(F.array(*bcols)).alias("bk")
     ).select("doc_id", "simhash", "bk.band", "bk.key")
+    counts = expl.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bucket_n"))
+    expl = expl.join(
+        counts.where(F.col("bucket_n") <= max_bucket), ["band", "key"]
+    ).select("doc_id", "simhash", "band", "key")
     l, r = expl.alias("l"), expl.alias("r")
     cand = (
         l.join(
