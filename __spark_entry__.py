@@ -138,20 +138,48 @@ def q_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trips lineitem with genuine DATE and DECIMAL(12,2) columns:
+    l_shipdate rides the engine as DateType (int32 epoch-days physical),
+    the four money columns as DecimalType (unscaled int64 physical) — the
+    reference's logical-type layering (parquet/parquet.go:2597-2612).
+    The decoded values are projected to exact integers (cents / day
+    numbers) only for portable hashing, after decode."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    out = _roundtrip(spark, sf_dir, "lineitem", ("l_returnflag", "l_orderkey"))
+    money = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    df = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        *[F.col(c).cast("decimal(12,2)").alias(c) for c in money],
+        "l_returnflag", "l_linestatus",
+        F.col("l_shipdate").cast("date").alias("l_shipdate"),
+    )
+    out = decode_table(encode_table(df, partition_by=("l_returnflag", "l_orderkey")),
+                       df.schema)
     return out.select(
-        *[c for c in out.columns if c != "l_shipdate"],
-        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("l_shipdate_us"),
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        *[(F.col(c) * 100).cast("long").alias(f"{c}_c") for c in money],
+        "l_returnflag", "l_linestatus",
+        F.datediff(F.col("l_shipdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long").alias("l_shipdate_day"),
     )
 
 
 def q_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders with o_orderdate as DateType and o_totalprice as
+    DECIMAL(12,2) through the engine (see q_roundtrip_lineitem)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    out = _roundtrip(spark, sf_dir, "orders", None)
+    df = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    out = decode_table(encode_table(df, partition_by=None), df.schema)
     return out.select(
-        *[c for c in out.columns if c != "o_orderdate"],
-        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_us"),
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        (F.col("o_totalprice") * 100).cast("long").alias("o_totalprice_c"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long").alias("o_orderdate_day"),
+        "o_orderpriority",
     )
 
 
@@ -498,13 +526,20 @@ def oracle_sql() -> dict[str, str]:
     return {
         "roundtrip_documents": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "roundtrip_lineitem": (
-            "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, "
-            "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, "
-            "epoch_us(l_shipdate) AS l_shipdate_us FROM lineitem"
+            "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, "
+            + ", ".join(
+                f"CAST(CAST({c} AS DECIMAL(12,2)) * 100 AS BIGINT) AS {c}_c"
+                for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+            )
+            + ", l_returnflag, l_linestatus, "
+            "datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))::BIGINT "
+            "AS l_shipdate_day FROM lineitem"
         ),
         "roundtrip_orders": (
-            "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, "
-            "o_orderpriority, epoch_us(o_orderdate) AS o_orderdate_us FROM orders"
+            "SELECT o_orderkey, o_custkey, o_orderstatus, "
+            "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS o_totalprice_c, "
+            "datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))::BIGINT "
+            "AS o_orderdate_day, o_orderpriority FROM orders"
         ),
         "roundtrip_events": (
             "SELECT event_id, user_id, event_type, value, props, "

@@ -39,6 +39,8 @@ from pyspark.sql.types import (
     ArrayType,
     BinaryType,
     BooleanType,
+    DateType,
+    DecimalType,
     DoubleType,
     FloatType,
     IntegerType,
@@ -125,6 +127,19 @@ def _logical_of(field) -> str:
         return "timestamp_us"
     if isinstance(dt, TimestampNTZType):
         return "timestamp_ntz_us"
+    if isinstance(dt, DateType):
+        # DATE logical type over int32 epoch-days (parquet/parquet.go:2597-
+        # 2612): near-sorted day numbers delta-pack beautifully
+        return "date_day"
+    if isinstance(dt, DecimalType):
+        # DECIMAL(p<=18, s) over the scaled int64 (scale/precision carried
+        # like datastore/column-parameters.go:6-13)
+        if dt.precision > 18:
+            raise TypeError(
+                f"unsupported decimal precision {dt.precision} for {field.name}: "
+                "only precision <= 18 (int64-backed) is supported"
+            )
+        return f"decimal({dt.precision},{dt.scale})"
     if isinstance(dt, ArrayType):
         elem = {
             IntegerType: "int32",
@@ -135,6 +150,65 @@ def _logical_of(field) -> str:
         if elem is not None:
             return f"list<{elem}>"
     raise TypeError(f"unsupported column type for encoding: {field.name}: {dt}")
+
+
+def _phys_of(logical: str) -> str | None:
+    """Physical storage dtype for scalar numeric logicals; None otherwise.
+
+    Logical types layer over the physical codecs exactly like the
+    reference's ConvertedType/LogicalType annotations over physical
+    parquet types (parquet/parquet.go:2597-2612): DATE is int32
+    epoch-days, DECIMAL(p<=18,s) is the unscaled int64, timestamps are
+    int64 microseconds."""
+    if logical in ("int32", "int64", "float32", "float64"):
+        return logical
+    if logical.startswith("timestamp"):
+        return "int64"
+    if logical == "date_day":
+        return "int32"
+    if logical.startswith("decimal("):
+        return "int64"
+    return None
+
+
+def _decimal_params(logical: str) -> tuple[int, int]:
+    p, s = logical[8:-1].split(",")
+    return int(p), int(s)
+
+
+def _decimal_to_int64(arr: pa.Array) -> np.ndarray:
+    """Unscaled int64 values from a decimal128 array (p <= 18 guarantees
+    the 128-bit value fits the low word; little-endian layout)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    words = np.frombuffer(
+        arr.buffers()[1], dtype=np.int64, count=2 * (n + arr.offset)
+    ).reshape(-1, 2)
+    return np.ascontiguousarray(words[arr.offset : arr.offset + n, 0])
+
+
+def _int64_to_decimal(
+    vals: np.ndarray, logical: str, valid: np.ndarray | None
+) -> pa.Array:
+    """Unscaled int64 -> decimal128 array (pa.cast would re-scale the
+    values, so build the 16-byte little-endian buffer directly: low word
+    = value, high word = sign extension)."""
+    p, s = _decimal_params(logical)
+    n = vals.size
+    words = np.empty((n, 2), dtype=np.int64)
+    words[:, 0] = vals
+    words[:, 1] = vals >> 63
+    validity = (
+        pa.py_buffer(np.packbits(valid, bitorder="little"))
+        if valid is not None
+        else None
+    )
+    null_count = int(n - valid.sum()) if valid is not None else 0
+    return pa.Array.from_buffers(
+        pa.decimal128(p, s), n, [validity, pa.py_buffer(words.tobytes())],
+        null_count=null_count,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -243,11 +317,14 @@ def _encode_arrow_batch(
             for c, lg in ((ck, logical), (lk, "int32")):
                 out_rows.append(_chunk_row(c, part_id, chunk_id, group_key,
                                            idx, lg, n_rows, compression))
-        elif logical in ("int32", "int64", "float32", "float64", "timestamp_us",
-                         "timestamp_ntz_us"):
-            phys = "int64" if logical.startswith("timestamp") else logical
-            if logical.startswith("timestamp"):
-                values = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        elif (phys := _phys_of(logical)) is not None:
+            if logical.startswith("decimal("):
+                values = _decimal_to_int64(arr)
+            elif phys != logical:
+                # timestamp -> int64 micros, date -> int32 epoch-days:
+                # Arrow casts are reinterpretations, not value conversions
+                pa_phys = pa.int32() if phys == "int32" else pa.int64()
+                values = arr.cast(pa_phys).to_numpy(zero_copy_only=False)
             else:
                 values = arr.to_numpy(zero_copy_only=False)
             ck = chunklib.encode_numeric(name, values, phys, codec,
@@ -393,6 +470,11 @@ def encode_table(
 # ---------------------------------------------------------------------------
 
 def _arrow_type_of(logical: str) -> pa.DataType:
+    if logical == "date_day":
+        return pa.date32()
+    if logical.startswith("decimal("):
+        p, s = _decimal_params(logical)
+        return pa.decimal128(p, s)
     return {
         "int32": pa.int32(),
         "int64": pa.int64(),
@@ -411,6 +493,11 @@ def _arrow_type_of(logical: str) -> pa.DataType:
 
 
 def _spark_type_of(logical: str):
+    if logical == "date_day":
+        return DateType()
+    if logical.startswith("decimal("):
+        p, s = _decimal_params(logical)
+        return DecimalType(p, s)
     return {
         "int32": IntegerType(),
         "int64": LongType(),
@@ -515,17 +602,24 @@ def decode_table(chunks_df: DataFrame, schema: StructType | None = None) -> Data
                         off_pa, pa.array(values, type=_arrow_type_of(child))
                     )
                 )
-            elif logical in ("int32", "int64", "float32", "float64", "timestamp_us",
-                             "timestamp_ntz_us"):
-                phys = "int64" if logical.startswith("timestamp") else logical
+            elif (phys := _phys_of(logical)) is not None:
                 vals = chunklib.decode_numeric({**ck, "dtype": phys})
                 if valid is not None:
                     full = np.zeros(n_rows, dtype=vals.dtype)
                     full[valid] = vals
-                    arr = pa.array(full, mask=nulls)
                 else:
-                    arr = pa.array(vals)
-                arrays.append(arr.cast(_arrow_type_of(logical)))
+                    full = vals
+                if logical.startswith("decimal("):
+                    # int64 -> decimal128 must reinterpret the unscaled
+                    # value; a pa cast would multiply by 10^scale
+                    arrays.append(_int64_to_decimal(full, logical, valid))
+                else:
+                    arr = (
+                        pa.array(full, mask=nulls)
+                        if valid is not None
+                        else pa.array(full)
+                    )
+                    arrays.append(arr.cast(_arrow_type_of(logical)))
             elif logical == "bool":
                 vals = chunklib.decode_bool(ck)
                 if valid is not None:
@@ -619,10 +713,30 @@ def decode_table_where(
     hi: float | None = None,
 ) -> DataFrame:
     """Range-filtered decode: prune chunk groups by footer stats, decode
-    the survivors, then apply the exact row-level predicate."""
+    the survivors, then apply the exact row-level predicate.
+
+    Bounds are given in the column's *physical* numeric domain (the one
+    the footer stats live in): epoch-days for DATE, microseconds for
+    timestamps, unscaled integer for DECIMAL, the value itself otherwise.
+    """
+    if schema is None:
+        schema = output_schema_of_chunks(chunks_df)
+    logical = _logical_of(schema[col])
+
+    def bound(v):
+        if logical == "date_day":
+            return F.date_add(F.lit("1970-01-01").cast("date"), int(v))
+        if logical.startswith("timestamp"):
+            return F.timestamp_micros(F.lit(int(v)))
+        if logical.startswith("decimal("):
+            _, s = _decimal_params(logical)
+            return (F.lit(int(v)).cast("decimal(20,0)")
+                    / F.lit(10 ** s)).cast(schema[col].dataType)
+        return F.lit(v)
+
     out = decode_table(prune_chunks(chunks_df, col, lo, hi), schema)
     if lo is not None:
-        out = out.where(F.col(col) >= lo)
+        out = out.where(F.col(col) >= bound(lo))
     if hi is not None:
-        out = out.where(F.col(col) <= hi)
+        out = out.where(F.col(col) <= bound(hi))
     return out
