@@ -4,8 +4,10 @@ The container has no image/audio codecs, so the *decode* step is a
 clearly-marked stub (:func:`decode_asset` raises ``NotImplementedError``
 unless ``fake=True`` selects the deterministic fake decoder). Everything
 Spark-side is real and tested: the asset schema, Arrow-batched
-``mapInPandas`` feature extraction (batch in, batch out — the shape a
-real libjpeg/ffmpeg UDF would keep), and partition-size-aware batching.
+``mapInArrow`` feature extraction (batch in, batch out — the shape a
+real libjpeg/ffmpeg UDF would keep), and zero per-row Python anywhere:
+payload generation is a splitmix64 stream keyed by (asset_id, word_idx)
+and the histogram is one flattened ``np.bincount`` over the whole batch.
 
 Scale design: assets are *large values, small keys*. Feature extraction
 is a narrow map (no shuffle); the output drops the payload so downstream
@@ -18,7 +20,7 @@ from __future__ import annotations
 from collections.abc import Iterable, Iterator
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -30,6 +32,9 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+from .kernels.plain import _ramp
+from .synth import _splitmix64
 
 ASSET_SCHEMA = StructType(
     [
@@ -43,6 +48,18 @@ ASSET_SCHEMA = StructType(
     ]
 )
 
+_ASSET_PA_SCHEMA = pa.schema(
+    [
+        ("asset_id", pa.int64()),
+        ("kind", pa.string()),
+        ("payload", pa.binary()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("sample_rate", pa.int32()),
+        ("n_frames", pa.int32()),
+    ]
+)
+
 FEATURE_SCHEMA = StructType(
     [
         StructField("asset_id", LongType(), False),
@@ -52,37 +69,78 @@ FEATURE_SCHEMA = StructType(
     ]
 )
 
+_KINDS = np.array(["image", "audio", "video"])
+
+
+def _payload_bytes(ids: np.ndarray, sizes: np.ndarray, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Flat payload byte stream + offsets for a batch of assets, fully
+    vectorized: byte j of asset i is splitmix64(i, j//8, seed) — a pure
+    function of (asset_id, position), so the table is identical at any
+    parallelism or Arrow batch size."""
+    n_words = (sizes + 7) // 8
+    row_of_word = np.repeat(np.arange(ids.size, dtype=np.int64), n_words)
+    word_idx = np.arange(row_of_word.size, dtype=np.int64)
+    word_starts = np.zeros(ids.size, dtype=np.int64)
+    np.cumsum(n_words[:-1], out=word_starts[1:])
+    word_in_row = word_idx - word_starts[row_of_word]
+    key = (
+        ids[row_of_word].astype(np.uint64) * np.uint64(0x10000000001)
+        + word_in_row.astype(np.uint64)
+        + np.uint64(seed) * np.uint64(0x9E3779B9)
+    )
+    words = _splitmix64(key)
+    raw = words.view(np.uint8)  # 8 bytes per word, little-endian
+    # trim each row's word-aligned region down to its exact byte size
+    byte_region_starts = word_starts * 8
+    take = np.repeat(byte_region_starts, sizes) + _ramp(sizes)
+    offsets = np.zeros(ids.size + 1, dtype=np.int32)
+    np.cumsum(sizes, out=offsets[1:])
+    return raw[take], offsets
+
+
+def _gen_asset_batch(ids: np.ndarray, seed: int) -> pa.RecordBatch:
+    h1 = _splitmix64(ids.astype(np.uint64) + np.uint64(seed) * np.uint64(7919))
+    h2 = _splitmix64(h1)
+    h3 = _splitmix64(h2)
+    sizes = (64 + (h1 % np.uint64(4032))).astype(np.int64)
+    kind_idx = (ids % 3).astype(np.int64)
+    flat, offsets = _payload_bytes(ids, sizes, seed)
+    payload = pa.BinaryArray.from_buffers(
+        pa.binary(), ids.size,
+        [None, pa.py_buffer(offsets), pa.py_buffer(flat.tobytes())],
+    )
+    width = (16 + (h2 % np.uint64(496))).astype(np.int32)
+    height = (16 + (h3 % np.uint64(496))).astype(np.int32)
+    n_frames = (1 + (h2 % np.uint64(299))).astype(np.int32)
+    is_img, is_aud, is_vid = kind_idx == 0, kind_idx == 1, kind_idx == 2
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(ids.astype(np.int64), pa.int64()),
+            pa.array(_KINDS[kind_idx], pa.string()),
+            payload,
+            pa.array(width, pa.int32(), mask=~is_img),
+            pa.array(height, pa.int32(), mask=~is_img),
+            pa.array(np.full(ids.size, 16_000, np.int32), pa.int32(), mask=~is_aud),
+            pa.array(n_frames, pa.int32(), mask=~is_vid),
+        ],
+        schema=_ASSET_PA_SCHEMA,
+    )
+
 
 def make_assets_table(spark: SparkSession, n_rows: int, *, seed: int = 42) -> DataFrame:
     """Deterministic fake assets: payload bytes are a splitmix stream keyed
-    by asset_id — stable across parallelism levels (like synth.py)."""
+    by (asset_id, position) — stable across parallelism levels (like
+    synth.make_tokens_table), generated distributed with zero per-row
+    Python."""
     base = spark.range(0, n_rows, 1, max(1, spark.sparkContext.defaultParallelism))
 
-    def gen(pdfs: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        kinds = np.array(["image", "audio", "video"])
-        for pdf in pdfs:
-            ids = pdf["id"].to_numpy(dtype=np.int64)
-            if ids.size == 0:
-                continue
-            rows = []
-            for i in ids:
-                rng = np.random.default_rng(np.uint64(seed) * np.uint64(7919) + np.uint64(i))
-                size = int(rng.integers(64, 4096))
-                kind = kinds[i % 3]
-                rows.append(
-                    {
-                        "asset_id": int(i),
-                        "kind": str(kind),
-                        "payload": rng.integers(0, 256, size, dtype=np.uint8).tobytes(),
-                        "width": int(rng.integers(16, 512)) if kind == "image" else None,
-                        "height": int(rng.integers(16, 512)) if kind == "image" else None,
-                        "sample_rate": 16_000 if kind == "audio" else None,
-                        "n_frames": int(rng.integers(1, 300)) if kind == "video" else None,
-                    }
-                )
-            yield pd.DataFrame(rows)
+    def gen(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ids = b.column(0).to_numpy()
+            if ids.size:
+                yield _gen_asset_batch(ids.astype(np.int64), seed)
 
-    return base.mapInPandas(gen, ASSET_SCHEMA)
+    return base.mapInArrow(gen, ASSET_SCHEMA)
 
 
 def decode_asset(payload: bytes, kind: str, *, fake: bool = False) -> np.ndarray:
@@ -101,34 +159,64 @@ def decode_asset(payload: bytes, kind: str, *, fake: bool = False) -> np.ndarray
 
 
 def extract_features(assets: DataFrame, *, fake_decode: bool = True) -> DataFrame:
-    """16-bin byte-histogram features per asset via Arrow-batched mapInPandas.
+    """16-bin byte-histogram features per asset via Arrow-batched mapInArrow.
 
-    The UDF receives whole Arrow batches of (asset_id, kind, payload) and
-    vectorizes over the batch — the exact plumbing a real decoder would
-    use (swap the histogram for jpeg-decode + pooling). Payload is dropped
-    from the output: only 16 doubles + metadata flow downstream.
+    One vectorized pass per batch: all payloads are viewed as a single
+    flat uint8 vector through the Arrow binary buffers (zero copies), and
+    the per-asset histogram is one ``np.bincount`` over
+    ``row_index * 16 + (byte >> 4)`` — the same flatten-then-scatter trick
+    the dict decoder uses. Swap the histogram for a real jpeg-decode +
+    pooling UDF and the plumbing (batch shape, schema, no shuffle) stays.
     """
+    out_pa = pa.schema(
+        [
+            ("asset_id", pa.int64()),
+            ("kind", pa.string()),
+            ("n_bytes", pa.int64()),
+            ("features", pa.list_(pa.float64())),
+        ]
+    )
 
-    def feat(pdfs: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in pdfs:
-            if pdf.empty:
+    def feat(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
                 continue
-            feats = []
-            for payload, kind in zip(pdf["payload"], pdf["kind"]):
-                raw = decode_asset(payload, kind, fake=fake_decode)
-                hist = np.bincount(raw >> 4, minlength=16).astype(np.float64)
-                total = hist.sum() or 1.0
-                feats.append(hist / total)
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "kind": pdf["kind"],
-                    "n_bytes": pdf["payload"].map(len).astype("int64"),
-                    "features": feats,
-                }
+            payload = b.column(b.schema.get_field_index("payload"))
+            if not fake_decode:
+                # surface the stub contract for real decoding
+                kind0 = b.column(b.schema.get_field_index("kind"))[0].as_py()
+                decode_asset(b"", kind0, fake=False)
+            ba = payload.cast(pa.large_binary())
+            bufs = ba.buffers()
+            offs = np.frombuffer(bufs[1], dtype=np.int64, count=n + 1,
+                                 offset=ba.offset * 8)
+            raw = np.frombuffer(bufs[2], dtype=np.uint8,
+                                count=int(offs[-1] - offs[0]),
+                                offset=int(offs[0]))
+            lens = np.diff(offs)
+            row_of_byte = np.repeat(np.arange(n, dtype=np.int64), lens)
+            hist = np.bincount(
+                row_of_byte * 16 + (raw >> 4), minlength=16 * n
+            ).reshape(n, 16).astype(np.float64)
+            totals = np.maximum(hist.sum(axis=1, keepdims=True), 1.0)
+            feats = pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int32) * 16, pa.int32()),
+                pa.array((hist / totals).ravel(), pa.float64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index("asset_id")),
+                    b.column(b.schema.get_field_index("kind")),
+                    pa.array(lens, pa.int64()),
+                    feats,
+                ],
+                schema=out_pa,
             )
 
-    return assets.select("asset_id", "kind", "payload").mapInPandas(feat, FEATURE_SCHEMA)
+    return assets.select("asset_id", "kind", "payload").mapInArrow(
+        feat, FEATURE_SCHEMA
+    )
 
 
 def frame_sample_plan(assets: DataFrame, every_n: int = 10) -> DataFrame:
