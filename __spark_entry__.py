@@ -265,6 +265,37 @@ def q_roundtrip_bools(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_table(chunks, df.schema)
 
 
+def q_roundtrip_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct shredding end-to-end: build a 2-level struct over customer
+    with nulls at both levels, encode (dotted leaf chunks + `#def`
+    struct-validity chunks), decode, then project the leaves back out for
+    portable hashing — the engine carries genuine StructType columns."""
+    c = _read(spark, sf_dir, "customer")
+    df = c.select(
+        "c_custkey",
+        F.when(
+            F.col("c_acctbal") >= 0,
+            F.struct(
+                F.col("c_name").alias("name"),
+                F.when(F.col("c_nationkey") % 5 != 0, F.col("c_nationkey"))
+                .alias("nation"),
+                F.struct(
+                    F.col("c_mktsegment").alias("seg"),
+                    F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+                ).alias("inner"),
+            ),
+        ).alias("info"),
+    )
+    out = decode_table(encode_table(df, partition_by=None), df.schema)
+    return out.select(
+        "c_custkey",
+        F.col("info.name").alias("name"),
+        F.col("info.nation").alias("nation"),
+        F.col("info.inner.seg").alias("seg"),
+        F.col("info.inner.bal_c").alias("bal_c"),
+    )
+
+
 def q_footer_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _read(spark, sf_dir, "lineitem").select(*_LINEITEM_NUM_COLS)
     meta = footer(encode_table(df))
@@ -474,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_embeddings": q_roundtrip_embeddings,
         "roundtrip_nullable": q_roundtrip_nullable,
         "roundtrip_bools": q_roundtrip_bools,
+        "roundtrip_structs": q_roundtrip_structs,
         "footer_stats_lineitem": q_footer_stats_lineitem,
         "pruned_range_scan": q_pruned_range_scan,
         "dedup_exact": q_dedup_exact,
@@ -574,6 +606,16 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_bools": (
             "SELECT event_id, value > 0 AS is_pos, event_id >= 0 AS always_true, "
             "event_id % 16 = 0 AS sparse FROM events"
+        ),
+        "roundtrip_structs": (
+            "SELECT c_custkey, "
+            "CASE WHEN c_acctbal >= 0 THEN c_name END AS name, "
+            "CASE WHEN c_acctbal >= 0 AND c_nationkey % 5 <> 0 "
+            "THEN c_nationkey END AS nation, "
+            "CASE WHEN c_acctbal >= 0 THEN c_mktsegment END AS seg, "
+            "CASE WHEN c_acctbal >= 0 "
+            "THEN CAST(floor(c_acctbal * 100) AS BIGINT) END AS bal_c "
+            "FROM customer"
         ),
         "footer_stats_lineitem": footer_union,
         "pruned_range_scan": (

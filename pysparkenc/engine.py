@@ -108,7 +108,10 @@ _CHUNK_PA_SCHEMA = pa.schema(
 
 
 def _logical_of(field) -> str:
-    dt = field.dataType
+    return _logical_of_dtype(field.dataType, field.name)
+
+
+def _logical_of_dtype(dt, name: str) -> str:
     if isinstance(dt, IntegerType):
         return "int32"
     if isinstance(dt, LongType):
@@ -136,7 +139,7 @@ def _logical_of(field) -> str:
         # like datastore/column-parameters.go:6-13)
         if dt.precision > 18:
             raise TypeError(
-                f"unsupported decimal precision {dt.precision} for {field.name}: "
+                f"unsupported decimal precision {dt.precision} for {name}: "
                 "only precision <= 18 (int64-backed) is supported"
             )
         return f"decimal({dt.precision},{dt.scale})"
@@ -149,7 +152,7 @@ def _logical_of(field) -> str:
         }.get(type(dt.elementType))
         if elem is not None:
             return f"list<{elem}>"
-    raise TypeError(f"unsupported column type for encoding: {field.name}: {dt}")
+    raise TypeError(f"unsupported column type for encoding: {name}: {dt}")
 
 
 def _phys_of(logical: str) -> str | None:
@@ -209,6 +212,47 @@ def _int64_to_decimal(
         pa.decimal128(p, s), n, [validity, pa.py_buffer(words.tobytes())],
         null_count=null_count,
     )
+
+
+def _flatten_schema(
+    fields, prefix: str = "", ordinal: list[int] | None = None
+) -> tuple[list[tuple[str, int, str]], list[tuple[str, int]]]:
+    """Shred nested structs to dotted leaf paths, the reference's column
+    naming scheme (schema/column.go:75-77, schema/column.go:259-304):
+    ``StructType`` fields become ``parent.child`` leaf columns plus a
+    ``parent#def`` validity chunk when the struct itself is nullable.
+    Returns (leaves [(path, ordinal, logical)], structs [(path, ordinal)])
+    in depth-first schema order. Dots in plain column names would collide
+    with this scheme — same documented convention as the reference."""
+    if ordinal is None:
+        ordinal = [0]
+    leaves: list[tuple[str, int, str]] = []
+    structs: list[tuple[str, int]] = []
+    for f in fields:
+        path = prefix + f.name
+        if isinstance(f.dataType, StructType):
+            if not f.dataType.fields:
+                raise TypeError(f"empty struct column {path} cannot be encoded")
+            structs.append((path, ordinal[0]))
+            ordinal[0] += 1
+            sub_l, sub_s = _flatten_schema(
+                f.dataType.fields, path + ".", ordinal
+            )
+            leaves += sub_l
+            structs += sub_s
+        else:
+            leaves.append((path, ordinal[0], _logical_of_dtype(f.dataType, path)))
+            ordinal[0] += 1
+    return leaves, structs
+
+
+def _leaf_of(batch: pa.RecordBatch, path: str) -> pa.Array:
+    """Navigate a dotted path to the leaf (or struct) array."""
+    parts = path.split(".")
+    arr = batch.column(batch.schema.get_field_index(parts[0]))
+    for p in parts[1:]:
+        arr = arr.field(p)
+    return arr
 
 
 # ---------------------------------------------------------------------------
@@ -273,6 +317,7 @@ def plan_partitions(
 def _encode_arrow_batch(
     batch: pa.RecordBatch,
     cols: list[tuple[str, int, str]],
+    structs: list[tuple[str, int]],
     part_id: int,
     chunk_id: int,
     group_key: str | None,
@@ -281,9 +326,35 @@ def _encode_arrow_batch(
 ) -> pa.RecordBatch:
     n_rows = batch.num_rows
     out_rows: list[dict] = []
+    # Struct validity first (parents before children by flatten order): a
+    # null struct masks every descendant leaf, so each leaf's validity is
+    # AND-ed with its enclosing struct's combined validity below — the
+    # flat-bitvector collapse of multi-level definition levels
+    # (datastore/column.go:136-142).
+    struct_valid: dict[str, np.ndarray] = {}
+    for spath, sidx in structs:
+        sarr = _leaf_of(batch, spath)
+        v = sarr.is_valid().to_numpy(zero_copy_only=False)
+        parent = spath.rsplit(".", 1)[0] if "." in spath else None
+        if parent in struct_valid:
+            v = v & struct_valid[parent]
+        struct_valid[spath] = v
+        if not v.all():
+            vk = chunklib.encode_bool(
+                f"{spath}#def", v, codec_for.get(f"{spath}#def")
+            )
+            out_rows.append(_chunk_row(vk, part_id, chunk_id, group_key,
+                                       sidx, "bool", n_rows, compression))
     for name, idx, logical in cols:
-        arr = batch.column(batch.schema.get_field_index(name))
-        null_count = arr.null_count
+        arr = _leaf_of(batch, name)
+        parent = name.rsplit(".", 1)[0] if "." in name else None
+        enclosing = struct_valid.get(parent)
+        if enclosing is not None:
+            valid = arr.is_valid().to_numpy(zero_copy_only=False) & enclosing
+            null_count = int(n_rows - int(valid.sum()))
+        else:
+            null_count = arr.null_count
+            valid = None
         if null_count:
             # Nullable column: the reference expresses NULLs through
             # definition levels (datastore/column.go:136-142); for flat
@@ -291,8 +362,9 @@ def _encode_arrow_batch(
             # a validity bitvector. Store it as a sibling `{name}#def`
             # chunk through the boolean codecs (RLE shines: null runs are
             # long in real data) and encode only the non-null values.
-            valid = arr.is_valid().to_numpy(zero_copy_only=False)
-            arr = arr.drop_null()
+            if valid is None:
+                valid = arr.is_valid().to_numpy(zero_copy_only=False)
+            arr = arr.filter(pa.array(valid))
             vk = chunklib.encode_bool(
                 f"{name}#def", valid, codec_for.get(f"{name}#def")
             )
@@ -421,15 +493,11 @@ def encode_table(
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism * 2
 
-    data_fields = df.schema.fields
-    cols = [(f.name, i, _logical_of(f)) for i, f in enumerate(data_fields)]
-    col_names = [c[0] for c in cols]
+    cols, structs = _flatten_schema(df.schema.fields)
     if isinstance(codec, str):
-        codec_for = {name: codec for name in col_names}
-        for name, _, logical in cols:
-            if logical.startswith("list<"):
-                codec_for[f"{name}#len"] = None  # auto for lengths
-        codec_for = {k: v for k, v in codec_for.items() if v is not None}
+        # force the codec on every leaf value chunk; length/validity
+        # side-chunks keep auto-selection
+        codec_for = {name: codec for name, _, _ in cols}
     else:
         codec_for = dict(codec or {})
 
@@ -442,7 +510,7 @@ def encode_table(
     else:
         shuffled = df.withColumn(
             "part_id",
-            F.pmod(F.abs(F.xxhash64(*[F.col(c) for c in col_names])),
+            F.pmod(F.abs(F.xxhash64(*[F.col(c) for c in df.columns])),
                    F.lit(num_partitions)).cast("long"),
         ).repartition(num_partitions, "part_id")
 
@@ -459,8 +527,8 @@ def encode_table(
                 gk = str(
                     batch.column(batch.schema.get_field_index(gk_col))[0]
                 )
-            yield _encode_arrow_batch(batch, cols, pid, seq, gk, codec_for,
-                                      compression)
+            yield _encode_arrow_batch(batch, cols, structs, pid, seq, gk,
+                                      codec_for, compression)
 
     return shuffled.mapInArrow(encode_iter, CHUNK_SCHEMA)
 
@@ -515,33 +583,72 @@ def _spark_type_of(logical: str):
     }[logical]
 
 
+def _arrow_full_type(dtype, name: str) -> pa.DataType:
+    if isinstance(dtype, StructType):
+        return pa.struct(
+            [
+                pa.field(f.name, _arrow_full_type(f.dataType, f.name),
+                         f.nullable)
+                for f in dtype.fields
+            ]
+        )
+    return _arrow_type_of(_logical_of_dtype(dtype, name))
+
+
 def output_schema_of_chunks(chunks_df: DataFrame) -> StructType:
     """Recover the original table schema from chunk metadata (a column is
-    nullable iff any of its chunks recorded nulls)."""
+    nullable iff any of its chunks recorded nulls). Dotted chunk names
+    reassemble into nested structs (the reference's dotted leaf paths,
+    schema/column.go:75-77); a ``path#def`` chunk with no matching value
+    chunk marks a nullable struct."""
     meta = (
         chunks_df.select("col", "col_idx", "logical", "null_count")
-        .where(~F.col("col").endswith("#len") & ~F.col("col").endswith("#def"))
+        .where(~F.col("col").endswith("#len"))
         .groupBy("col", "col_idx", "logical")
         .agg(F.max("null_count").alias("nc"))
         .orderBy("col_idx")
         .collect()
     )
-    return StructType(
-        [
-            StructField(r["col"], _spark_type_of(r["logical"]), r["nc"] > 0)
-            for r in meta
-        ]
-    )
+    value_rows = [r for r in meta if not r["col"].endswith("#def")]
+    value_paths = {r["col"] for r in value_rows}
+    nullable_structs = {
+        r["col"][:-4]
+        for r in meta
+        if r["col"].endswith("#def") and r["col"][:-4] not in value_paths
+    }
+    root: dict = {}
+    for r in value_rows:
+        parts = r["col"].split(".")
+        cursor = root
+        for p in parts[:-1]:
+            cursor = cursor.setdefault(p, {})
+        cursor[parts[-1]] = StructField(
+            parts[-1], _spark_type_of(r["logical"]), r["nc"] > 0
+        )
+
+    def to_struct(d: dict, prefix: str = "") -> StructType:
+        fields = []
+        for k, v in d.items():
+            if isinstance(v, dict):
+                path = prefix + k
+                fields.append(
+                    StructField(k, to_struct(v, path + "."),
+                                path in nullable_structs)
+                )
+            else:
+                fields.append(v)
+        return StructType(fields)
+
+    return to_struct(root)
 
 
 def decode_table(chunks_df: DataFrame, schema: StructType | None = None) -> DataFrame:
-    """Inverse of :func:`encode_table`: chunk rows -> original rows."""
+    """Inverse of :func:`encode_table`: chunk rows -> original rows.
+    Struct columns reassemble from their dotted leaf chunks bottom-up."""
     if schema is None:
         schema = output_schema_of_chunks(chunks_df)
-    logicals = {f.name: _logical_of(f) for f in schema.fields}
-    names = [f.name for f in schema.fields]
     out_pa_schema = pa.schema(
-        [(n, _arrow_type_of(logicals[n])) for n in names]
+        [(f.name, _arrow_full_type(f.dataType, f.name)) for f in schema.fields]
     )
 
     meta_cols = ("col", "codec", "dtype", "n_rows", "n_values", "null_count",
@@ -567,12 +674,42 @@ def decode_table(chunks_df: DataFrame, schema: StructType | None = None) -> Data
 
     def decode_group(table: pa.Table) -> pa.Table:
         by_col = _chunks_by_col(table)
-        arrays = []
-        for name in names:
-            logical = logicals[name]
-            ck = by_col[name]
+
+        def build(path: str, dtype) -> pa.Array:
+            if isinstance(dtype, StructType):
+                children = [
+                    build(f"{path}.{f.name}", f.dataType)
+                    for f in dtype.fields
+                ]
+                # from_buffers, not from_arrays: Spark's applyInArrow
+                # checks the result type *including field nullability*,
+                # and from_arrays always yields all-nullable fields
+                stype = pa.struct(
+                    [
+                        pa.field(f.name, children[i].type, f.nullable)
+                        for i, f in enumerate(dtype.fields)
+                    ]
+                )
+                length = len(children[0])
+                defck = by_col.get(f"{path}#def")
+                if defck is not None:
+                    svalid = chunklib.decode_bool(defck)
+                    validity = pa.py_buffer(
+                        np.packbits(svalid, bitorder="little")
+                    )
+                    return pa.Array.from_buffers(
+                        stype, length, [validity],
+                        null_count=int(length - svalid.sum()),
+                        children=children,
+                    )
+                return pa.Array.from_buffers(
+                    stype, length, [None], null_count=0, children=children
+                )
+
+            logical = _logical_of_dtype(dtype, path)
+            ck = by_col[path]
             n_rows = int(ck["n_rows"])
-            defck = by_col.get(f"{name}#def")
+            defck = by_col.get(f"{path}#def")
             # validity vector (True = present) from the definition chunk;
             # absent when the chunk was encoded without nulls
             valid = chunklib.decode_bool(defck) if defck is not None else None
@@ -580,7 +717,7 @@ def decode_table(chunks_df: DataFrame, schema: StructType | None = None) -> Data
             if logical.startswith("list<"):
                 child = logical[5:-1]
                 values = chunklib.decode_numeric({**ck, "dtype": child})
-                lk = by_col[f"{name}#len"]
+                lk = by_col[f"{path}#len"]
                 lengths = chunklib.decode_numeric({**lk, "dtype": "int32"})
                 if valid is not None:
                     full_len = np.zeros(n_rows, dtype=np.int64)
@@ -597,12 +734,10 @@ def decode_table(chunks_df: DataFrame, schema: StructType | None = None) -> Data
                         mask=np.concatenate([nulls, [False]]),
                     )
                 )
-                arrays.append(
-                    pa.ListArray.from_arrays(
-                        off_pa, pa.array(values, type=_arrow_type_of(child))
-                    )
+                return pa.ListArray.from_arrays(
+                    off_pa, pa.array(values, type=_arrow_type_of(child))
                 )
-            elif (phys := _phys_of(logical)) is not None:
+            if (phys := _phys_of(logical)) is not None:
                 vals = chunklib.decode_numeric({**ck, "dtype": phys})
                 if valid is not None:
                     full = np.zeros(n_rows, dtype=vals.dtype)
@@ -612,47 +747,46 @@ def decode_table(chunks_df: DataFrame, schema: StructType | None = None) -> Data
                 if logical.startswith("decimal("):
                     # int64 -> decimal128 must reinterpret the unscaled
                     # value; a pa cast would multiply by 10^scale
-                    arrays.append(_int64_to_decimal(full, logical, valid))
-                else:
-                    arr = (
-                        pa.array(full, mask=nulls)
-                        if valid is not None
-                        else pa.array(full)
-                    )
-                    arrays.append(arr.cast(_arrow_type_of(logical)))
-            elif logical == "bool":
+                    return _int64_to_decimal(full, logical, valid)
+                arr = (
+                    pa.array(full, mask=nulls)
+                    if valid is not None
+                    else pa.array(full)
+                )
+                return arr.cast(_arrow_type_of(logical))
+            if logical == "bool":
                 vals = chunklib.decode_bool(ck)
                 if valid is not None:
                     full = np.zeros(n_rows, dtype=bool)
                     full[valid] = vals
-                    arrays.append(pa.array(full, mask=nulls))
-                else:
-                    arrays.append(pa.array(vals))
+                    return pa.array(full, mask=nulls)
+                return pa.array(vals)
+            offsets, data = chunklib.decode_bytes(ck)
+            if valid is not None:
+                lens = np.diff(offsets)
+                full_len = np.zeros(n_rows, dtype=np.int64)
+                full_len[valid] = lens
+                offsets = np.zeros(n_rows + 1, dtype=np.int64)
+                np.cumsum(full_len, out=offsets[1:])
+                validity_buf = pa.py_buffer(
+                    np.packbits(valid, bitorder="little")
+                )
+                bufs = [validity_buf, pa.py_buffer(offsets),
+                        pa.py_buffer(data)]
+                ba = pa.LargeBinaryArray.from_buffers(
+                    pa.large_binary(), n_rows, bufs,
+                    null_count=int(nulls.sum()),
+                )
             else:
-                offsets, data = chunklib.decode_bytes(ck)
-                if valid is not None:
-                    lens = np.diff(offsets)
-                    full_len = np.zeros(n_rows, dtype=np.int64)
-                    full_len[valid] = lens
-                    offsets = np.zeros(n_rows + 1, dtype=np.int64)
-                    np.cumsum(full_len, out=offsets[1:])
-                    validity_buf = pa.py_buffer(
-                        np.packbits(valid, bitorder="little")
-                    )
-                    bufs = [validity_buf, pa.py_buffer(offsets),
-                            pa.py_buffer(data)]
-                    ba = pa.LargeBinaryArray.from_buffers(
-                        pa.large_binary(), n_rows, bufs,
-                        null_count=int(nulls.sum()),
-                    )
-                else:
-                    ba = pa.LargeBinaryArray.from_buffers(
-                        pa.large_binary(),
-                        offsets.size - 1,
-                        [None, pa.py_buffer(offsets.astype(np.int64)),
-                         pa.py_buffer(data)],
-                    )
-                arrays.append(ba.cast(_arrow_type_of(logical)))
+                ba = pa.LargeBinaryArray.from_buffers(
+                    pa.large_binary(),
+                    offsets.size - 1,
+                    [None, pa.py_buffer(offsets.astype(np.int64)),
+                     pa.py_buffer(data)],
+                )
+            return ba.cast(_arrow_type_of(logical))
+
+        arrays = [build(f.name, f.dataType) for f in schema.fields]
         return pa.Table.from_arrays(arrays, schema=out_pa_schema)
 
     return chunks_df.groupBy("part_id", "chunk_id").applyInArrow(
