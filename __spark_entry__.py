@@ -296,6 +296,20 @@ def q_roundtrip_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_roundtrip_fixed_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED_LEN_BYTE_ARRAY coverage (types/byte-array.go:94-114): a
+    16-byte md5-digest column rides the engine as equal-width binary (the
+    selector picks ba_fixed — zero offset overhead), decoded back and
+    hex-projected for portable hashing."""
+    df = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.unhex(F.md5("text")).alias("digest")
+    )
+    out = decode_table(encode_table(df, partition_by=None), df.schema)
+    return out.select(
+        "doc_id", F.lower(F.hex("digest")).alias("digest_hex")
+    )
+
+
 def q_footer_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _read(spark, sf_dir, "lineitem").select(*_LINEITEM_NUM_COLS)
     meta = footer(encode_table(df))
@@ -439,8 +453,12 @@ def q_asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table hyperplane LSH (8 tables x 16 buckets): recall@5 vs
+    cosine_topk is pinned >= 0.6 in tests/test_ann_recall.py."""
     emb = _read(spark, sf_dir, "embeddings")
-    return sim.ann_lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+    return sim.ann_lsh_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, planes=4, tables=8
+    )
 
 
 def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -506,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_nullable": q_roundtrip_nullable,
         "roundtrip_bools": q_roundtrip_bools,
         "roundtrip_structs": q_roundtrip_structs,
+        "roundtrip_fixed_binary": q_roundtrip_fixed_binary,
         "footer_stats_lineitem": q_footer_stats_lineitem,
         "pruned_range_scan": q_pruned_range_scan,
         "dedup_exact": q_dedup_exact,
@@ -616,6 +635,9 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN c_acctbal >= 0 "
             "THEN CAST(floor(c_acctbal * 100) AS BIGINT) END AS bal_c "
             "FROM customer"
+        ),
+        "roundtrip_fixed_binary": (
+            "SELECT doc_id, md5(text) AS digest_hex FROM documents"
         ),
         "footer_stats_lineitem": footer_union,
         "pruned_range_scan": (

@@ -219,8 +219,21 @@ def encode_bytes(
     plain_bytes = len(data_buf) + 4 * n
     aux = b""
     n_unique = -1
+    extra: dict = {}
 
-    if codec == "ba_plain":
+    if codec == "ba_fixed":
+        # FIXED_LEN_BYTE_ARRAY (types/byte-array.go:94-114): equal-width
+        # values stored back-to-back, no offsets at all — UUID / digest /
+        # decimal-backing shapes
+        lens = np.diff(offsets)
+        w = int(lens[0]) if n else 0
+        if n and not (lens == w).all():
+            raise ValueError(
+                f"ba_fixed requires equal-length values for {col}"
+            )
+        data = bytes(data_buf)
+        extra["flba_w"] = w
+    elif codec == "ba_plain":
         data = plain_encode_bytes(offsets, data_buf)
     elif codec == "ba_delta_len":
         data = delta_length_encode(offsets, data_buf)
@@ -241,7 +254,8 @@ def encode_bytes(
         col=col, codec=codec, dtype=logical, n_values=n, null_count=0,
         n_unique=n_unique, bit_width=0, plain_bytes=plain_bytes,
         enc_bytes=len(data) + len(aux), num_min=None, num_max=None,
-        crc32=zlib.crc32(data), extra="", data=data, aux=aux,
+        crc32=zlib.crc32(data), extra=json.dumps(extra) if extra else "",
+        data=data, aux=aux,
     )
 
 
@@ -289,7 +303,14 @@ def decode_bool(chunk: dict) -> np.ndarray:
 
 def decode_bytes(chunk: dict) -> tuple[np.ndarray, bytes]:
     codec, n = chunk["codec"], int(chunk["n_values"])
-    data, aux, _ = _open_payload(chunk)
+    data, aux, extra = _open_payload(chunk)
+    if codec == "ba_fixed":
+        w = int(extra.get("flba_w", 0))
+        if len(data) != n * w:
+            raise ValueError(
+                f"ba_fixed payload length {len(data)} != {n} * {w}"
+            )
+        return np.arange(n + 1, dtype=np.int64) * w, bytes(data)
     if codec == "ba_plain":
         return plain_decode_bytes(data, n)
     if codec == "ba_delta_len":

@@ -46,6 +46,18 @@ try:  # pragma: no cover - not in this container
 except ImportError:
     pass
 
+try:  # pragma: no cover - not in this container
+    import brotli as _brotli
+
+    # the reference's remaining codec (compression/brotli.go); quality 5
+    # mirrors its default window of speed-vs-ratio
+    _REGISTRY["brotli"] = (
+        lambda b: _brotli.compress(b, quality=5),
+        _brotli.decompress,
+    )
+except ImportError:
+    pass
+
 
 def available() -> tuple[str, ...]:
     return tuple(sorted(_REGISTRY))

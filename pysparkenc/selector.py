@@ -45,7 +45,9 @@ SAMPLE_VALUES = 1 << 16  # selector decisions made on at most 64Ki values
 INT_CANDIDATES = ("plain", "delta_bp", "dict_rle", "for_rle")
 FLOAT_CANDIDATES = ("plain", "dict_rle")
 BOOL_CANDIDATES = ("bool_plain", "bool_rle")
-BYTES_CANDIDATES = ("ba_plain", "ba_delta_len", "ba_delta", "dict_rle", "fsst")
+BYTES_CANDIDATES = (
+    "ba_plain", "ba_fixed", "ba_delta_len", "ba_delta", "dict_rle", "fsst"
+)
 
 _ITEM = {"int32": 4, "int64": 8, "float32": 4, "float64": 8}
 
@@ -138,6 +140,12 @@ def select_bytes(offsets: np.ndarray, data: bytes) -> Choice:
     n = offsets.size - 1
     total = len(data)
     sizes: dict[str, int] = {"ba_plain": total + 4 * n}
+    lens_all = np.diff(offsets)
+    if n and (lens_all == lens_all[0]).all():
+        # FIXED_LEN_BYTE_ARRAY: equal widths need no offsets at all —
+        # always beats ba_plain/delta_len on this shape; dictionary can
+        # still win on heavy duplication
+        sizes["ba_fixed"] = total
     # sample rows (not values) for the string codecs
     if n > 4096:
         step = n // 4096

@@ -136,22 +136,27 @@ def embedding_near_dup_pairs(
     )
 
 
-def _hyperplanes(planes: int, dim: int) -> list[list[int]]:
-    """Deterministic ±1 hyperplanes from md5(plane,dim) — literals, no RNG."""
+def _hyperplanes(planes: int, dim: int, table: int = 0) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes from md5(plane,dim) — literals, no RNG.
+    ``table`` seeds an independent plane set per LSH table (table 0 keeps
+    the original seeding for reproducibility of existing buckets)."""
     out = []
     for p in range(planes):
         row = []
         for d in range(dim):
-            h = hashlib.md5(f"plane:{p}:{d}".encode()).digest()[0]
+            tag = f"plane:{p}:{d}" if table == 0 else f"plane:t{table}:{p}:{d}"
+            h = hashlib.md5(tag.encode()).digest()[0]
             row.append(1 if h & 1 else -1)
         out.append(row)
     return out
 
 
-def hyperplane_bucket(vec: Column, planes: int = 8, dim: int = 64) -> Column:
+def hyperplane_bucket(
+    vec: Column, planes: int = 8, dim: int = 64, table: int = 0
+) -> Column:
     """LSH bucket id: sign bits of ±1-hyperplane projections."""
     acc = F.lit(0).cast("long")
-    for p, row in enumerate(_hyperplanes(planes, dim)):
+    for p, row in enumerate(_hyperplanes(planes, dim, table)):
         plane = F.array(*[F.lit(float(x)) for x in row])
         proj = _dot(vec, plane)
         acc = acc + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
@@ -160,34 +165,58 @@ def hyperplane_bucket(vec: Column, planes: int = 8, dim: int = 64) -> Column:
     return acc
 
 
+def _table_buckets(
+    vec: Column, planes: int, dim: int, tables: int
+) -> Column:
+    """array<struct<t,b>> of (table, bucket) keys for multi-table LSH."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                hyperplane_bucket(vec, planes, dim, t).alias("b"),
+            )
+            for t in range(tables)
+        ]
+    )
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     planes: int = 8,
     dim: int = 64,
+    tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket.
+    """Approximate top-k: candidates restricted to the query's LSH buckets.
 
-    Recall/latency dial = ``planes`` (buckets = 2^planes). The corpus is
-    bucketed once (one narrow pass); each query probes one bucket — the
-    join key is the bucket id, so Spark shuffles corpus rows once by
-    bucket and the search is bucket-local thereafter.
+    Standard multi-table LSH: ``tables`` independent hyperplane sets;
+    a corpus vector is a candidate if it shares a bucket with the query
+    in ANY table — recall grows with ``tables`` (candidate-set union),
+    precision/latency with ``planes`` (buckets per table = 2^planes).
+    The corpus is keyed once per table via an explode (tables× narrow
+    duplication, no O(n²) anywhere); each (table, bucket) cell joins
+    bucket-locally against the broadcast queries, and duplicate
+    candidates collapse with one distinct before ranking.
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        hyperplane_bucket(F.col(vec_col), planes, dim).alias("bucket"),
+        F.explode(
+            _table_buckets(F.col(vec_col), planes, dim, tables)
+        ).alias("tb"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        hyperplane_bucket(F.col(vec_col), planes, dim).alias("bucket"),
+        F.explode(
+            _table_buckets(F.col(vec_col), planes, dim, tables)
+        ).alias("tb"),
     )
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), "tb")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -196,6 +225,7 @@ def ann_lsh_topk(
             .cast("long")
             .alias("cos_e6"),
         )
+        .distinct()  # same pair found in several tables scores identically
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_e6").desc(), F.col("neighbor_id").asc()
