@@ -296,6 +296,39 @@ def q_roundtrip_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_roundtrip_arrays_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized lists + maps end-to-end: an array<string> with NULL
+    elements (`#edef` element-validity chunk) and a map<string,double>
+    with NULL values (`#valdef`) ride the engine; the decoded values are
+    re-projected to scalars for portable hashing."""
+    base = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.transform(
+            F.filter(F.split("text", r"\s+"), lambda x: x != ""),
+            lambda x: F.when(F.length(x) % 3 != 0, x),
+        ).alias("words"),
+        F.create_map(
+            F.lit("n"), F.col("n_chars").cast("double"),
+            F.lit("h"),
+            F.when(F.col("n_chars") % 2 == 0, F.col("n_chars") / 2.0),
+        ).alias("meta"),
+    )
+    out = decode_table(
+        encode_table(base, partition_by=None), base.schema
+    )
+    return out.select(
+        "doc_id",
+        F.size("words").cast("long").alias("n_words"),
+        F.size(F.filter("words", lambda x: x.isNull()))
+        .cast("long").alias("n_null_words"),
+        F.array_join(
+            F.filter("words", lambda x: x.isNotNull()), "|"
+        ).alias("words_j"),
+        F.element_at("meta", F.lit("n")).cast("long").alias("meta_n"),
+        F.element_at("meta", F.lit("h")).cast("long").alias("meta_h"),
+    )
+
+
 def q_roundtrip_fixed_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FIXED_LEN_BYTE_ARRAY coverage (types/byte-array.go:94-114): a
     16-byte md5-digest column rides the engine as equal-width binary (the
@@ -525,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_bools": q_roundtrip_bools,
         "roundtrip_structs": q_roundtrip_structs,
         "roundtrip_fixed_binary": q_roundtrip_fixed_binary,
+        "roundtrip_arrays_maps": q_roundtrip_arrays_maps,
         "footer_stats_lineitem": q_footer_stats_lineitem,
         "pruned_range_scan": q_pruned_range_scan,
         "dedup_exact": q_dedup_exact,
@@ -639,6 +673,19 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_fixed_binary": (
             "SELECT doc_id, md5(text) AS digest_hex FROM documents"
         ),
+        "roundtrip_arrays_maps": f"""
+WITH w AS (SELECT doc_id, n_chars, {_WS} AS w0 FROM documents),
+t AS (SELECT doc_id, n_chars,
+        list_transform(w0, x -> CASE WHEN length(x) % 3 <> 0 THEN x END) AS ws
+      FROM w)
+SELECT doc_id,
+  len(ws)::BIGINT AS n_words,
+  len(list_filter(ws, x -> x IS NULL))::BIGINT AS n_null_words,
+  array_to_string(list_filter(ws, x -> x IS NOT NULL), '|') AS words_j,
+  n_chars::BIGINT AS meta_n,
+  (CASE WHEN n_chars % 2 = 0 THEN n_chars / 2 END)::BIGINT AS meta_h
+FROM t
+""",
         "footer_stats_lineitem": footer_union,
         "pruned_range_scan": (
             "SELECT l_returnflag, count(*)::BIGINT AS n_rows, "

@@ -45,6 +45,7 @@ from pyspark.sql.types import (
     FloatType,
     IntegerType,
     LongType,
+    MapType,
     StringType,
     StructField,
     StructType,
@@ -144,15 +145,37 @@ def _logical_of_dtype(dt, name: str) -> str:
             )
         return f"decimal({dt.precision},{dt.scale})"
     if isinstance(dt, ArrayType):
-        elem = {
-            IntegerType: "int32",
-            LongType: "int64",
-            FloatType: "float32",
-            DoubleType: "float64",
-        }.get(type(dt.elementType))
-        if elem is not None:
-            return f"list<{elem}>"
+        if isinstance(dt.elementType, (ArrayType, MapType, StructType)):
+            raise TypeError(
+                f"nested element type in array column {name} is unsupported: "
+                f"{dt.elementType}"
+            )
+        return f"list<{_logical_of_dtype(dt.elementType, name)}>"
+    if isinstance(dt, MapType):
+        for part, label in ((dt.keyType, "key"), (dt.valueType, "value")):
+            if isinstance(part, (ArrayType, MapType, StructType)):
+                raise TypeError(
+                    f"nested {label} type in map column {name} is "
+                    f"unsupported: {part}"
+                )
+        k = _logical_of_dtype(dt.keyType, name)
+        v = _logical_of_dtype(dt.valueType, name)
+        return f"map<{k},{v}>"
     raise TypeError(f"unsupported column type for encoding: {name}: {dt}")
+
+
+def _split_map_logical(logical: str) -> tuple[str, str]:
+    """('k', 'v') from 'map<k,v>'; paren-aware (decimal(p,s) keys/values)."""
+    inner = logical[4:-1]
+    depth = 0
+    for i, ch in enumerate(inner):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            return inner[:i], inner[i + 1 :]
+    raise ValueError(f"malformed map logical {logical}")
 
 
 def _phys_of(logical: str) -> str | None:
@@ -314,6 +337,48 @@ def plan_partitions(
 # encode
 # ---------------------------------------------------------------------------
 
+def _encode_scalar_chunk(
+    name: str,
+    arr: pa.Array,
+    logical: str,
+    codec: str | None,
+    compression: str | None,
+) -> chunklib.EncodedChunk:
+    """Encode a flat, already null-compacted scalar Arrow array — shared
+    by top-level columns, struct leaves, list elements, and map
+    keys/values."""
+    if (phys := _phys_of(logical)) is not None:
+        if logical.startswith("decimal("):
+            values = _decimal_to_int64(arr)
+        elif phys != logical:
+            # timestamp -> int64 micros, date -> int32 epoch-days:
+            # Arrow casts are reinterpretations, not value conversions
+            pa_phys = pa.int32() if phys == "int32" else pa.int64()
+            values = arr.cast(pa_phys).to_numpy(zero_copy_only=False)
+        else:
+            values = arr.to_numpy(zero_copy_only=False)
+        return chunklib.encode_numeric(name, values, phys, codec,
+                                       compression=compression)
+    if logical == "bool":
+        values = arr.to_numpy(zero_copy_only=False)
+        return chunklib.encode_bool(name, values, codec)
+    if logical in ("string", "binary"):
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        ba = arr.cast(pa.large_binary())
+        bufs = ba.buffers()
+        offsets = np.frombuffer(
+            bufs[1], dtype=np.int64, count=len(ba) + 1, offset=ba.offset * 8
+        ).astype(np.int64)
+        if bufs[2] is not None:
+            data_buf = bytes(memoryview(bufs[2])[offsets[0] : offsets[-1]])
+        else:
+            data_buf = b""
+        offsets = offsets - offsets[0]
+        return chunklib.encode_bytes(name, offsets, data_buf, codec)
+    raise TypeError(f"unsupported logical type {logical}")
+
+
 def _encode_arrow_batch(
     batch: pa.RecordBatch,
     cols: list[tuple[str, int, str]],
@@ -371,66 +436,72 @@ def _encode_arrow_batch(
             out_rows.append(_chunk_row(vk, part_id, chunk_id, group_key,
                                        idx, "bool", n_rows, compression))
         codec = codec_for.get(name)
-        if logical.startswith("list<"):
-            child_logical = logical[5:-1]
+        if logical.startswith("list<") or logical.startswith("map<"):
             if isinstance(arr, pa.ChunkedArray):
                 arr = arr.combine_chunks()
             la = arr
             offsets = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-            values = la.values.to_numpy(zero_copy_only=False)
-            # slice the flat child to this batch's window
-            values = values[offsets[0] : offsets[-1]]
             lengths = np.diff(offsets).astype(np.int32)
-            ck = chunklib.encode_numeric(name, values, child_logical, codec,
-                                         compression=compression)
-            ck.null_count = null_count
-            lk = chunklib.encode_numeric(f"{name}#len", lengths, "int32",
-                                         codec_for.get(f"{name}#len"))
-            for c, lg in ((ck, logical), (lk, "int32")):
-                out_rows.append(_chunk_row(c, part_id, chunk_id, group_key,
-                                           idx, lg, n_rows, compression))
-        elif (phys := _phys_of(logical)) is not None:
-            if logical.startswith("decimal("):
-                values = _decimal_to_int64(arr)
-            elif phys != logical:
-                # timestamp -> int64 micros, date -> int32 epoch-days:
-                # Arrow casts are reinterpretations, not value conversions
-                pa_phys = pa.int32() if phys == "int32" else pa.int64()
-                values = arr.cast(pa_phys).to_numpy(zero_copy_only=False)
+            lo, span = int(offsets[0]), int(offsets[-1] - offsets[0])
+            if logical.startswith("map<"):
+                # the map's main `{name}` chunk IS its entry-count stream
+                # (logical map<k,v>, dtype int32); flattened keys/values
+                # ride side chunks like struct leaves
+                klog, vlog = _split_map_logical(logical)
+                mk = chunklib.encode_numeric(name, lengths, "int32",
+                                             codec_for.get(f"{name}#len"))
+                mk.null_count = null_count
+                out_rows.append(_chunk_row(mk, part_id, chunk_id, group_key,
+                                           idx, logical, n_rows, compression))
+                keys = la.keys.slice(lo, span)
+                items = la.items.slice(lo, span)
+                kck = _encode_scalar_chunk(f"{name}#key", keys, klog,
+                                           codec_for.get(f"{name}#key"),
+                                           compression)
+                out_rows.append(_chunk_row(kck, part_id, chunk_id, group_key,
+                                           idx, klog, n_rows, compression))
+                if items.null_count:
+                    vvalid = items.is_valid().to_numpy(zero_copy_only=False)
+                    items = items.filter(pa.array(vvalid))
+                    vdk = chunklib.encode_bool(
+                        f"{name}#valdef", vvalid,
+                        codec_for.get(f"{name}#valdef"),
+                    )
+                    out_rows.append(_chunk_row(vdk, part_id, chunk_id,
+                                               group_key, idx, "bool",
+                                               n_rows, compression))
+                vck = _encode_scalar_chunk(f"{name}#val", items, vlog,
+                                           codec_for.get(f"{name}#val"),
+                                           compression)
+                out_rows.append(_chunk_row(vck, part_id, chunk_id, group_key,
+                                           idx, vlog, n_rows, compression))
             else:
-                values = arr.to_numpy(zero_copy_only=False)
-            ck = chunklib.encode_numeric(name, values, phys, codec,
-                                         compression=compression)
-            ck.null_count = null_count
-            out_rows.append(_chunk_row(ck, part_id, chunk_id, group_key, idx,
-                                       logical, n_rows, compression))
-        elif logical == "bool":
-            values = arr.to_numpy(zero_copy_only=False)
-            ck = chunklib.encode_bool(name, values, codec)
-            ck.null_count = null_count
-            out_rows.append(_chunk_row(ck, part_id, chunk_id, group_key, idx,
-                                       logical, n_rows, compression))
-        elif logical in ("string", "binary"):
-            if isinstance(arr, pa.ChunkedArray):
-                arr = arr.combine_chunks()
-            ba = arr.cast(pa.large_binary())
-            bufs = ba.buffers()
-            offsets = np.frombuffer(
-                bufs[1], dtype=np.int64, count=len(ba) + 1, offset=ba.offset * 8
-            ).astype(np.int64)
-            if bufs[2] is not None:
-                data_buf = bytes(
-                    memoryview(bufs[2])[offsets[0] : offsets[-1]]
-                )
-            else:
-                data_buf = b""
-            offsets = offsets - offsets[0]
-            ck = chunklib.encode_bytes(name, offsets, data_buf, codec)
-            ck.null_count = null_count
-            out_rows.append(_chunk_row(ck, part_id, chunk_id, group_key, idx,
-                                       logical, n_rows, compression))
+                lk = chunklib.encode_numeric(f"{name}#len", lengths, "int32",
+                                             codec_for.get(f"{name}#len"))
+                out_rows.append(_chunk_row(lk, part_id, chunk_id, group_key,
+                                           idx, "int32", n_rows, compression))
+                child_logical = logical[5:-1]
+                values = la.values.slice(lo, span)
+                if values.null_count:
+                    evalid = values.is_valid().to_numpy(zero_copy_only=False)
+                    values = values.filter(pa.array(evalid))
+                    edk = chunklib.encode_bool(
+                        f"{name}#edef", evalid,
+                        codec_for.get(f"{name}#edef"),
+                    )
+                    out_rows.append(_chunk_row(edk, part_id, chunk_id,
+                                               group_key, idx, "bool",
+                                               n_rows, compression))
+                ck = _encode_scalar_chunk(name, values, child_logical,
+                                          codec, compression)
+                ck.null_count = null_count
+                out_rows.append(_chunk_row(ck, part_id, chunk_id, group_key,
+                                           idx, logical, n_rows, compression))
         else:
-            raise TypeError(f"unsupported logical type {logical}")
+            ck = _encode_scalar_chunk(name, arr, logical, codec, compression)
+            ck.null_count = null_count
+            out_rows.append(_chunk_row(ck, part_id, chunk_id, group_key, idx,
+                                       logical, n_rows, compression))
     cols_data = {
         k: [r[k] for r in out_rows] for k in _CHUNK_PA_SCHEMA.names
     }
@@ -508,10 +579,28 @@ def encode_table(
         planned = plan_partitions(df, partition_by, num_partitions)
         shuffled = planned.repartition(num_partitions, "part_id")
     else:
+        # Spark prohibits hash expressions over MAP-bearing columns
+        # (nondeterministic map iteration); hashing the remaining columns
+        # still distributes fine
+        def _hashable(dt) -> bool:
+            if isinstance(dt, MapType):
+                return False
+            if isinstance(dt, ArrayType):
+                return _hashable(dt.elementType)
+            if isinstance(dt, StructType):
+                return all(_hashable(f.dataType) for f in dt.fields)
+            return True
+
+        hash_cols = [f.name for f in df.schema.fields if _hashable(f.dataType)]
+        part_expr = (
+            F.pmod(F.abs(F.xxhash64(*[F.col(c) for c in hash_cols])),
+                   F.lit(num_partitions))
+            if hash_cols
+            else F.pmod(F.monotonically_increasing_id(),
+                        F.lit(num_partitions))
+        )
         shuffled = df.withColumn(
-            "part_id",
-            F.pmod(F.abs(F.xxhash64(*[F.col(c) for c in df.columns])),
-                   F.lit(num_partitions)).cast("long"),
+            "part_id", part_expr.cast("long")
         ).repartition(num_partitions, "part_id")
 
     gk_col = group_key_col
@@ -543,6 +632,11 @@ def _arrow_type_of(logical: str) -> pa.DataType:
     if logical.startswith("decimal("):
         p, s = _decimal_params(logical)
         return pa.decimal128(p, s)
+    if logical.startswith("list<"):
+        return pa.list_(_arrow_type_of(logical[5:-1]))
+    if logical.startswith("map<"):
+        k, v = _split_map_logical(logical)
+        return pa.map_(_arrow_type_of(k), _arrow_type_of(v))
     return {
         "int32": pa.int32(),
         "int64": pa.int64(),
@@ -553,10 +647,6 @@ def _arrow_type_of(logical: str) -> pa.DataType:
         "binary": pa.binary(),
         "timestamp_us": pa.timestamp("us", tz="UTC"),
         "timestamp_ntz_us": pa.timestamp("us"),
-        "list<int32>": pa.list_(pa.int32()),
-        "list<int64>": pa.list_(pa.int64()),
-        "list<float32>": pa.list_(pa.float32()),
-        "list<float64>": pa.list_(pa.float64()),
     }[logical]
 
 
@@ -566,6 +656,11 @@ def _spark_type_of(logical: str):
     if logical.startswith("decimal("):
         p, s = _decimal_params(logical)
         return DecimalType(p, s)
+    if logical.startswith("list<"):
+        return ArrayType(_spark_type_of(logical[5:-1]))
+    if logical.startswith("map<"):
+        k, v = _split_map_logical(logical)
+        return MapType(_spark_type_of(k), _spark_type_of(v))
     return {
         "int32": IntegerType(),
         "int64": LongType(),
@@ -576,10 +671,6 @@ def _spark_type_of(logical: str):
         "binary": BinaryType(),
         "timestamp_us": TimestampType(),
         "timestamp_ntz_us": TimestampNTZType(),
-        "list<int32>": ArrayType(IntegerType()),
-        "list<int64>": ArrayType(LongType()),
-        "list<float32>": ArrayType(FloatType()),
-        "list<float64>": ArrayType(DoubleType()),
     }[logical]
 
 
@@ -592,6 +683,17 @@ def _arrow_full_type(dtype, name: str) -> pa.DataType:
                 for f in dtype.fields
             ]
         )
+    if isinstance(dtype, ArrayType):
+        return pa.list_(
+            pa.field("item", _arrow_full_type(dtype.elementType, name),
+                     dtype.containsNull)
+        )
+    if isinstance(dtype, MapType):
+        return pa.map_(
+            pa.field("key", _arrow_full_type(dtype.keyType, name), False),
+            pa.field("value", _arrow_full_type(dtype.valueType, name),
+                     dtype.valueContainsNull),
+        )
     return _arrow_type_of(_logical_of_dtype(dtype, name))
 
 
@@ -603,13 +705,16 @@ def output_schema_of_chunks(chunks_df: DataFrame) -> StructType:
     chunk marks a nullable struct."""
     meta = (
         chunks_df.select("col", "col_idx", "logical", "null_count")
-        .where(~F.col("col").endswith("#len"))
+        # value chunks never contain '#'; the only side chunks we need
+        # are the struct-validity `#def` rows (all other `#…` suffixes —
+        # len/key/val/edef/valdef — are reassembly details)
+        .where(~F.col("col").contains("#") | F.col("col").endswith("#def"))
         .groupBy("col", "col_idx", "logical")
         .agg(F.max("null_count").alias("nc"))
         .orderBy("col_idx")
         .collect()
     )
-    value_rows = [r for r in meta if not r["col"].endswith("#def")]
+    value_rows = [r for r in meta if "#" not in r["col"]]
     value_paths = {r["col"] for r in value_rows}
     nullable_structs = {
         r["col"][:-4]
@@ -640,6 +745,57 @@ def output_schema_of_chunks(chunks_df: DataFrame) -> StructType:
         return StructType(fields)
 
     return to_struct(root)
+
+
+def _decode_scalar_array(
+    ck: dict, logical: str, n_out: int, valid: np.ndarray | None
+) -> pa.Array:
+    """Decode one scalar chunk to a length-``n_out`` Arrow array,
+    scattering the compacted values under ``valid`` (True = present) when
+    a validity vector applies — shared by top-level columns, struct
+    leaves, list elements, and map keys/values."""
+    nulls = ~valid if valid is not None else None
+    if (phys := _phys_of(logical)) is not None:
+        vals = chunklib.decode_numeric({**ck, "dtype": phys})
+        if valid is not None:
+            full = np.zeros(n_out, dtype=vals.dtype)
+            full[valid] = vals
+        else:
+            full = vals
+        if logical.startswith("decimal("):
+            # int64 -> decimal128 must reinterpret the unscaled value;
+            # a pa cast would multiply by 10^scale
+            return _int64_to_decimal(full, logical, valid)
+        arr = pa.array(full, mask=nulls) if valid is not None else pa.array(full)
+        return arr.cast(_arrow_type_of(logical))
+    if logical == "bool":
+        vals = chunklib.decode_bool(ck)
+        if valid is not None:
+            full = np.zeros(n_out, dtype=bool)
+            full[valid] = vals
+            return pa.array(full, mask=nulls)
+        return pa.array(vals)
+    offsets, data = chunklib.decode_bytes(ck)
+    if valid is not None:
+        lens = np.diff(offsets)
+        full_len = np.zeros(n_out, dtype=np.int64)
+        full_len[valid] = lens
+        offsets = np.zeros(n_out + 1, dtype=np.int64)
+        np.cumsum(full_len, out=offsets[1:])
+        validity_buf = pa.py_buffer(np.packbits(valid, bitorder="little"))
+        ba = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), n_out,
+            [validity_buf, pa.py_buffer(offsets), pa.py_buffer(data)],
+            null_count=int(nulls.sum()),
+        )
+    else:
+        ba = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(),
+            offsets.size - 1,
+            [None, pa.py_buffer(offsets.astype(np.int64)),
+             pa.py_buffer(data)],
+        )
+    return ba.cast(_arrow_type_of(logical))
 
 
 def decode_table(chunks_df: DataFrame, schema: StructType | None = None) -> DataFrame:
@@ -713,78 +869,77 @@ def decode_table(chunks_df: DataFrame, schema: StructType | None = None) -> Data
             # validity vector (True = present) from the definition chunk;
             # absent when the chunk was encoded without nulls
             valid = chunklib.decode_bool(defck) if defck is not None else None
-            nulls = ~valid if valid is not None else None
-            if logical.startswith("list<"):
-                child = logical[5:-1]
-                values = chunklib.decode_numeric({**ck, "dtype": child})
-                lk = by_col[f"{path}#len"]
-                lengths = chunklib.decode_numeric({**lk, "dtype": "int32"})
+
+            if logical.startswith("list<") or logical.startswith("map<"):
+                is_map = logical.startswith("map<")
+                len_ck = ck if is_map else by_col[f"{path}#len"]
+                lengths = chunklib.decode_numeric({**len_ck, "dtype": "int32"})
                 if valid is not None:
                     full_len = np.zeros(n_rows, dtype=np.int64)
                     full_len[valid] = lengths
                 else:
-                    full_len = lengths
+                    full_len = lengths.astype(np.int64)
                 offsets = np.zeros(full_len.size + 1, dtype=np.int32)
                 np.cumsum(full_len, out=offsets[1:])
-                off_pa = (
-                    pa.array(offsets, type=pa.int32())
-                    if nulls is None
-                    else pa.array(
-                        offsets, type=pa.int32(),
-                        mask=np.concatenate([nulls, [False]]),
-                    )
-                )
-                return pa.ListArray.from_arrays(
-                    off_pa, pa.array(values, type=_arrow_type_of(child))
-                )
-            if (phys := _phys_of(logical)) is not None:
-                vals = chunklib.decode_numeric({**ck, "dtype": phys})
-                if valid is not None:
-                    full = np.zeros(n_rows, dtype=vals.dtype)
-                    full[valid] = vals
-                else:
-                    full = vals
-                if logical.startswith("decimal("):
-                    # int64 -> decimal128 must reinterpret the unscaled
-                    # value; a pa cast would multiply by 10^scale
-                    return _int64_to_decimal(full, logical, valid)
-                arr = (
-                    pa.array(full, mask=nulls)
+                n_elem = int(offsets[-1])
+                validity_buf = (
+                    pa.py_buffer(np.packbits(valid, bitorder="little"))
                     if valid is not None
-                    else pa.array(full)
+                    else None
                 )
-                return arr.cast(_arrow_type_of(logical))
-            if logical == "bool":
-                vals = chunklib.decode_bool(ck)
-                if valid is not None:
-                    full = np.zeros(n_rows, dtype=bool)
-                    full[valid] = vals
-                    return pa.array(full, mask=nulls)
-                return pa.array(vals)
-            offsets, data = chunklib.decode_bytes(ck)
-            if valid is not None:
-                lens = np.diff(offsets)
-                full_len = np.zeros(n_rows, dtype=np.int64)
-                full_len[valid] = lens
-                offsets = np.zeros(n_rows + 1, dtype=np.int64)
-                np.cumsum(full_len, out=offsets[1:])
-                validity_buf = pa.py_buffer(
-                    np.packbits(valid, bitorder="little")
+                n_null = int((~valid).sum()) if valid is not None else 0
+                if is_map:
+                    klog, vlog = _split_map_logical(logical)
+                    keys = _decode_scalar_array(
+                        by_col[f"{path}#key"], klog, n_elem, None
+                    )
+                    vdefck = by_col.get(f"{path}#valdef")
+                    vvalid = (
+                        chunklib.decode_bool(vdefck)
+                        if vdefck is not None
+                        else None
+                    )
+                    items = _decode_scalar_array(
+                        by_col[f"{path}#val"], vlog, n_elem, vvalid
+                    )
+                    entries = pa.Array.from_buffers(
+                        pa.struct(
+                            [
+                                pa.field("key", keys.type, False),
+                                pa.field("value", items.type,
+                                         dtype.valueContainsNull),
+                            ]
+                        ),
+                        n_elem, [None], null_count=0,
+                        children=[keys, items],
+                    )
+                    mtype = pa.map_(
+                        pa.field("key", keys.type, False),
+                        pa.field("value", items.type,
+                                 dtype.valueContainsNull),
+                    )
+                    return pa.Array.from_buffers(
+                        mtype, full_len.size,
+                        [validity_buf, pa.py_buffer(offsets)],
+                        null_count=n_null, children=[entries],
+                    )
+                child = logical[5:-1]
+                edefck = by_col.get(f"{path}#edef")
+                evalid = (
+                    chunklib.decode_bool(edefck)
+                    if edefck is not None
+                    else None
                 )
-                bufs = [validity_buf, pa.py_buffer(offsets),
-                        pa.py_buffer(data)]
-                ba = pa.LargeBinaryArray.from_buffers(
-                    pa.large_binary(), n_rows, bufs,
-                    null_count=int(nulls.sum()),
+                child_arr = _decode_scalar_array(ck, child, n_elem, evalid)
+                ltype = pa.list_(
+                    pa.field("item", child_arr.type, dtype.containsNull)
                 )
-            else:
-                ba = pa.LargeBinaryArray.from_buffers(
-                    pa.large_binary(),
-                    offsets.size - 1,
-                    [None, pa.py_buffer(offsets.astype(np.int64)),
-                     pa.py_buffer(data)],
+                return pa.Array.from_buffers(
+                    ltype, full_len.size,
+                    [validity_buf, pa.py_buffer(offsets)],
+                    null_count=n_null, children=[child_arr],
                 )
-            return ba.cast(_arrow_type_of(logical))
+            return _decode_scalar_array(ck, logical, n_rows, valid)
 
         arrays = [build(f.name, f.dataType) for f in schema.fields]
         return pa.Table.from_arrays(arrays, schema=out_pa_schema)

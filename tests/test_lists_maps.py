@@ -1,0 +1,150 @@
+"""Generalized list + map encoding.
+
+Lists now take any scalar element type (string/binary/bool/date/decimal/
+timestamp as well as numerics) and nullable elements (`{col}#edef`
+element-validity chunk). Maps shred to `{col}` (entry counts, logical
+map<k,v>), `{col}#key`, `{col}#val`, `{col}#valdef` — the same dotted
+side-chunk scheme as struct leaves."""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from pysparkenc.engine import (
+    decode_table,
+    encode_table,
+    footer,
+    output_schema_of_chunks,
+)
+
+
+def _rt(spark, df, key="id", num_partitions=2, **kw):
+    chunks = encode_table(df, num_partitions=num_partitions, **kw)
+    dec = decode_table(chunks, df.schema)
+    cols = [c for c in df.columns if c != key]
+    want = {r[key]: tuple(r[c] for c in cols) for r in df.collect()}
+    got = {r[key]: tuple(r[c] for c in cols) for r in dec.collect()}
+    return want, got, chunks
+
+
+def test_list_null_elements_roundtrip_exactly(spark):
+    """[1, None, 3] used to silently become float NaN via to_numpy."""
+    df = spark.createDataFrame(
+        [(1, [1, None, 3]), (2, [None]), (3, []), (4, None), (5, [7, 8])],
+        "id long, xs array<int>",
+    )
+    want, got, chunks = _rt(spark, df, num_partitions=1)
+    assert got == want
+    cols = {r["col"] for r in chunks.select("col").distinct().collect()}
+    assert "xs#edef" in cols  # element-validity chunk exists
+
+
+def test_list_of_strings_and_binary(spark):
+    rows = [
+        (i, [f"word{j}-{i % 7}" for j in range(i % 5)],
+         [str(j).encode() * 3 for j in range(i % 3)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, ws array<string>, bs array<binary>")
+    want, got, _ = _rt(spark, df)
+    assert got == want
+
+
+def test_list_of_logical_scalars(spark):
+    rows = [
+        (
+            i,
+            [dt.date(2022, 1, 1) + dt.timedelta(days=j) for j in range(i % 4)],
+            [Decimal(j * 7) / 100 for j in range(i % 3)],
+            [i % 2 == 0, None, True][: i % 4],
+        )
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, ds array<date>, ps array<decimal(10,2)>, bs array<boolean>"
+    )
+    want, got, _ = _rt(spark, df)
+    assert got == want
+
+
+def test_map_roundtrip_with_null_values_and_rows(spark):
+    rows = []
+    for i in range(150):
+        m = (
+            None
+            if i % 9 == 0
+            else {f"k{j}": (None if j % 3 == 0 else j * 1.5) for j in range(i % 4)}
+        )
+        rows.append((i, m))
+    df = spark.createDataFrame(rows, "id long, m map<string,double>")
+    want, got, chunks = _rt(spark, df)
+    assert got == want
+    cols = {r["col"] for r in chunks.select("col").distinct().collect()}
+    assert {"m", "m#key", "m#val", "m#valdef", "m#def"} <= cols
+
+
+def test_map_decimal_keys_parse(spark):
+    """decimal(p,s) keys exercise the paren-aware map logical parser."""
+    df = spark.createDataFrame(
+        [(1, {Decimal("1.50"): "a", Decimal("2.25"): "b"}), (2, {})],
+        "id long, m map<decimal(10,2),string>",
+    )
+    want, got, chunks = _rt(spark, df, num_partitions=1)
+    assert got == want
+    lg = chunks.where(F.col("col") == "m").select("logical").first()["logical"]
+    assert lg == "map<decimal(10,2),string>"
+
+
+def test_map_schema_recovery(spark):
+    df = spark.createDataFrame(
+        [(1, {"a": 2}), (2, None)], "id long, m map<string,long>"
+    )
+    chunks = encode_table(df, num_partitions=1)
+    rec = output_schema_of_chunks(chunks)
+    assert rec["m"].dataType.simpleString() == "map<string,bigint>"
+    got = {r["id"]: r["m"] for r in decode_table(chunks).collect()}
+    assert got == {1: {"a": 2}, 2: None}
+
+
+def test_map_inside_struct(spark):
+    df = spark.createDataFrame(
+        [(1, ({"x": 1}, [5, None]))],
+        "id long, s struct<m:map<string,int>, xs:array<int>>",
+    )
+    want, got, _ = _rt(spark, df, num_partitions=1)
+    assert got == want
+
+
+def test_nested_list_of_list_rejected(spark):
+    df = spark.createDataFrame([(1, [[1, 2]])], "id long, xs array<array<int>>")
+    with pytest.raises(TypeError, match="nested element"):
+        encode_table(df, num_partitions=1).collect()
+
+
+def test_all_map_table_partitions_without_hash(spark):
+    """The hash-partition fallback must not try xxhash64 over MAP columns."""
+    df = spark.createDataFrame(
+        [({"a": i},) for i in range(40)], "m map<string,long>"
+    )
+    dec = decode_table(encode_table(df, num_partitions=3), df.schema)
+    assert sorted(r["m"]["a"] for r in dec.collect()) == list(range(40))
+
+
+def test_string_list_values_use_byte_codecs(spark):
+    """Flattened string elements ride the byte-array codec suite."""
+    df = spark.createDataFrame(
+        [(i, [f"tok{j % 11}" for j in range(40)]) for i in range(100)],
+        "id long, ws array<string>",
+    )
+    chunks = encode_table(df, num_partitions=1)
+    meta = footer(chunks).where(F.col("col") == "ws").collect()
+    assert all(
+        r["codec"] in ("ba_plain", "ba_delta_len", "ba_delta", "dict_rle", "fsst")
+        for r in meta
+    )
+    # heavy duplication -> the dictionary should win
+    assert any(r["codec"] == "dict_rle" for r in meta)

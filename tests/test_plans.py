@@ -105,10 +105,12 @@ def test_cosine_topk_broadcasts_queries(emb):
 def test_ann_lsh_join_is_bucket_equi_join(emb):
     from pysparkenc.similarity import ann_lsh_topk
 
-    plan = plan_of(ann_lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=3))
-    # bucket-key equi-join with the small query side broadcast: corpus is
-    # never replicated, candidates stay bucket-local
-    assert "BroadcastHashJoin" in plan and "bucket" in plan
+    plan = plan_of(ann_lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=3,
+                                planes=4, tables=4))
+    # (table, bucket)-key equi-join with the small query side broadcast:
+    # corpus is never replicated beyond the tables× explode, candidates
+    # stay bucket-local
+    assert "BroadcastHashJoin" in plan and "tb" in plan
     assert "NestedLoop" not in plan
 
 
