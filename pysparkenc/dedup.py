@@ -26,6 +26,7 @@ every operator has an exact DuckDB oracle.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .textops import MERSENNE31, portable_hash60, words
@@ -119,6 +120,11 @@ def minhash_lsh_pairs(
     exploded = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # the band table is referenced by the bucket-count aggregate AND both
+    # sides of the self-join; without a persist Spark recomputes the full
+    # text->shingle->minhash pipeline once per reference. The table itself
+    # is tiny (doc_id + band + key), so MEMORY_AND_DISK is safe at scale.
+    exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
     counts = exploded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bucket_n"))
     pruned = exploded.join(
         counts.where(F.col("bucket_n") <= max_bucket), ["band", "key"]
@@ -256,6 +262,9 @@ def simhash_dup_pairs(
     expl = sig.select(
         "doc_id", "simhash", F.explode(F.array(*bcols)).alias("bk")
     ).select("doc_id", "simhash", "bk.band", "bk.key")
+    # persist: the fingerprint pipeline otherwise re-runs for the count
+    # aggregate and for each self-join side (4x the simhash cost)
+    expl = expl.persist(StorageLevel.MEMORY_AND_DISK)
     counts = expl.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bucket_n"))
     expl = expl.join(
         counts.where(F.col("bucket_n") <= max_bucket), ["band", "key"]
