@@ -376,6 +376,31 @@ def q_pruned_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pruned_string_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String stat pruning: lexicographic smin/smax recorded per chunk
+    (the stats the reference's ByteArrayStore declares but never sets,
+    datastore/byte-array.go:8-12) let a doc_id range drop whole chunk
+    groups before any payload decode; partitioning by source keeps chunk
+    string ranges tight."""
+    from pysparkenc.engine import decode_table_where
+
+    df = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc-"),
+                 F.lpad(F.col("doc_id").cast("string"), 6, "0")).alias("key"),
+        "source",
+        "n_chars",
+    )
+    chunks = encode_table(df, partition_by=("source", "key"))
+    out = decode_table_where(chunks, df.schema, "key",
+                             "doc-000100", "doc-000300")
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("key").alias("min_id"),
+        F.max("key").alias("max_id"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup(_read(spark, sf_dir, "documents"))
 
@@ -561,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_arrays_maps": q_roundtrip_arrays_maps,
         "footer_stats_lineitem": q_footer_stats_lineitem,
         "pruned_range_scan": q_pruned_range_scan,
+        "pruned_string_scan": q_pruned_string_scan,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
@@ -692,6 +718,14 @@ FROM t
             "sum(l_quantity) AS sum_qty, min(l_orderkey) AS min_ok, "
             "max(l_orderkey) AS max_ok FROM lineitem "
             "WHERE l_orderkey BETWEEN 1000 AND 5000 GROUP BY l_returnflag"
+        ),
+        "pruned_string_scan": (
+            "WITH t AS (SELECT 'doc-' || lpad(doc_id::VARCHAR, 6, '0') AS key, "
+            "source, n_chars FROM documents) "
+            "SELECT source, count(*)::BIGINT AS n_docs, min(key) AS min_id, "
+            "max(key) AS max_id, sum(n_chars)::BIGINT AS sum_chars "
+            "FROM t WHERE key BETWEEN 'doc-000100' AND 'doc-000300' "
+            "GROUP BY source"
         ),
         "dedup_exact": (
             "SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, "

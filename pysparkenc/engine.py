@@ -289,37 +289,46 @@ def plan_partitions(
 ) -> DataFrame:
     """Assign ``part_id``: contiguous bucket ranges per leading-key value,
     sized by row count, salted within the range by the remaining keys."""
+    from pyspark.sql import Window
+
     key0 = partition_by[0]
     salt_keys = list(partition_by[1:]) or [key0]
-    # sort driver-side: the count result is tiny (one row per distinct
-    # leading key) and a Spark orderBy would add a whole sort stage;
-    # null-safe key — a nullable leading key must not TypeError here
-    counts = sorted(
-        df.groupBy(key0).count().collect(),
-        key=lambda r: (r[key0] is None, r[key0]),
-    )
-    if len(counts) > 100_000:
+    # The plan never touches the driver: counts -> proportional bucket
+    # sizes -> prefix-sum offsets, all as one tiny aggregate + one
+    # single-partition window over n_distinct(key0) rows (an executor
+    # task, not a .collect()). The guard still bounds the BROADCAST of
+    # the plan — past it, the leading key is too fine for range planning
+    # and pure hash partitioning is the right tool anyway.
+    from pyspark import StorageLevel
+
+    # persist: the guard count below must not trigger a second full scan
+    # of df when the plan is built (the counts table itself is tiny)
+    counts = df.groupBy(key0).count().persist(StorageLevel.MEMORY_AND_DISK)
+    n_keys = counts.count()
+    if n_keys > 1_000_000:
         raise ValueError(
-            f"partition key {key0} has {len(counts)} distinct values; "
+            f"partition key {key0} has over 1e6 distinct values; "
             "use a coarser leading key or partition_by=None (pure hash)"
         )
-    total = sum(r["count"] for r in counts) or 1
-    plan_rows = []
-    offset = 0
-    for r in counts:
-        buckets = max(1, round(num_partitions * r["count"] / total))
-        plan_rows.append((r[key0], offset, buckets))
-        offset += buckets
-    spark = df.sparkSession
-    plan_schema = StructType(
-        [
-            df.schema[key0],
-            StructField("__offset", IntegerType(), False),
-            StructField("__buckets", IntegerType(), False),
-        ]
+    total = F.sum("count").over(Window.partitionBy())
+    buckets = F.greatest(
+        F.lit(1),
+        F.round(F.lit(num_partitions) * F.col("count") / total).cast("int"),
     )
-    plan = spark.createDataFrame(plan_rows, schema=plan_schema).withColumnRenamed(
-        key0, "__k0"
+    # null-safe global order: nulls sort first, deterministically
+    order = Window.orderBy(F.col(key0).asc_nulls_first())
+    plan = (
+        counts.withColumn("__buckets", buckets)
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__buckets").over(
+                    order.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("int"),
+        )
+        .select(F.col(key0).alias("__k0"), "__offset", "__buckets")
     )
     salted = F.pmod(
         F.abs(F.xxhash64(*[F.col(c) for c in salt_keys])), F.col("__buckets")
@@ -375,8 +384,35 @@ def _encode_scalar_chunk(
         else:
             data_buf = b""
         offsets = offsets - offsets[0]
-        return chunklib.encode_bytes(name, offsets, data_buf, codec)
+        ck = chunklib.encode_bytes(name, offsets, data_buf, codec)
+        if logical == "string" and len(arr):
+            _attach_string_stats(ck, arr)
+        return ck
     raise TypeError(f"unsupported logical type {logical}")
+
+
+_STR_STAT_MAX = 64  # codepoints kept per bound (parquet-style truncation)
+
+
+def _attach_string_stats(ck: chunklib.EncodedChunk, arr: pa.Array) -> None:
+    """Record lexicographic min/max of a string chunk in its ``extra``
+    JSON — the stats the reference's ByteArrayStore declares but never
+    sets (datastore/byte-array.go:8-12). Truncation keeps bounds valid:
+    a truncated *min* prefix is still <= every value; a *max* is stored
+    only when the full value fits (a truncated max would falsely bound
+    above), otherwise absent = unbounded — prune_chunks keeps the chunk.
+    """
+    import pyarrow.compute as pc
+
+    mm = pc.min_max(arr)
+    smin, smax = mm["min"].as_py(), mm["max"].as_py()
+    if smin is None:
+        return
+    extra = json.loads(ck.extra) if ck.extra else {}
+    extra["smin"] = smin[:_STR_STAT_MAX]
+    if len(smax) <= _STR_STAT_MAX:
+        extra["smax"] = smax
+    ck.extra = json.dumps(extra)
 
 
 def _encode_arrow_batch(
@@ -959,8 +995,8 @@ def footer(chunks_df: DataFrame) -> DataFrame:
 def prune_chunks(
     chunks_df: DataFrame,
     col: str,
-    lo: float | None = None,
-    hi: float | None = None,
+    lo: float | str | None = None,
+    hi: float | str | None = None,
 ) -> DataFrame:
     """Stat-based chunk-group pruning: keep only chunk groups whose
     ``col`` min/max range overlaps [lo, hi].
@@ -973,6 +1009,25 @@ def prune_chunks(
     groups — this is predicate pushdown *through* the encoded
     representation.
     """
+    if isinstance(lo, str) or isinstance(hi, str):
+        # string bounds: lexicographic smin/smax live in the chunk's
+        # extra JSON (absent smax = unbounded after truncation — keep)
+        stats = chunks_df.where(F.col("col") == col).select(
+            "part_id", "chunk_id",
+            F.get_json_object("extra", "$.smin").alias("smin"),
+            F.get_json_object("extra", "$.smax").alias("smax"),
+        )
+        cond = F.lit(True)
+        if lo is not None:
+            mx = F.col("smax")
+            cond = cond & (mx.isNull() | (mx >= str(lo)))
+        if hi is not None:
+            mn = F.col("smin")
+            cond = cond & (mn.isNull() | (mn <= str(hi)))
+        keep = stats.where(cond).select("part_id", "chunk_id")
+        return chunks_df.join(F.broadcast(keep), ["part_id", "chunk_id"],
+                              "left_semi")
+
     stats = chunks_df.where(F.col("col") == col).select(
         "part_id", "chunk_id", "num_min", "num_max"
     )
@@ -998,8 +1053,8 @@ def decode_table_where(
     chunks_df: DataFrame,
     schema: StructType | None,
     col: str,
-    lo: float | None = None,
-    hi: float | None = None,
+    lo: float | str | None = None,
+    hi: float | str | None = None,
 ) -> DataFrame:
     """Range-filtered decode: prune chunk groups by footer stats, decode
     the survivors, then apply the exact row-level predicate.

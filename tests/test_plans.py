@@ -121,10 +121,15 @@ def test_encode_pipeline_single_python_stage(spark):
     df = make_tokens_table(spark, 200, seed=3)
     plan = plan_of(encode_table(df, partition_by=("source", "doc_id"),
                                 num_partitions=4), "simple")
-    # exactly two Arrow-batched Python stages: the synthetic generator and
-    # the codec kernels; the partition planning itself stays JVM-side
-    assert plan.count("MapInArrow") == 2
+    # exactly two Arrow-batched Python stages EXECUTE: the synthetic
+    # generator and the codec kernels; the partition plan is served from
+    # the persisted counts cache (whose InMemoryRelation printout repeats
+    # the generator subtree without re-executing it) and stays JVM-side
+    executed = plan.split("InMemoryRelation")[0]
+    assert executed.count("MapInArrow") == 2
     assert "BatchEvalPython" not in plan
+    # the distributed partition plan: window prefix-sum, broadcast join
+    assert "Window" in plan and "BroadcastHashJoin" in plan
 
 
 def test_decode_groups_without_sort(spark):

@@ -75,6 +75,44 @@ def test_pruning_keeps_chunks_with_nan_values(spark):
     chunks.unpersist()
 
 
+def test_string_pruning_drops_groups_and_matches_exact(spark):
+    """Lexicographic smin/smax stats prune string ranges — the stats the
+    reference's ByteArrayStore declares but never sets
+    (datastore/byte-array.go:8-12)."""
+    rows = [(i, f"{chr(97 + i % 20)}key{i:04d}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    # partition by first letter so chunks have tight string ranges
+    df = df.withColumn("g", F.substring("k", 1, 1))
+    chunks = encode_table(df, partition_by=("g", "id"), num_partitions=16)
+    chunks.cache().count()
+
+    total = chunks.select("part_id", "chunk_id").distinct().count()
+    pruned = prune_chunks(chunks, "k", "c", "f")
+    kept = pruned.select("part_id", "chunk_id").distinct().count()
+    assert 0 < kept < total  # pruning actually dropped groups
+
+    got = decode_table_where(chunks, df.schema, "k", "c", "f")
+    want = df.where((F.col("k") >= "c") & (F.col("k") <= "f"))
+    assert {r["id"] for r in got.collect()} == {r["id"] for r in want.collect()}
+    chunks.unpersist()
+
+
+def test_string_pruning_long_values_never_dropped(spark):
+    """Values longer than the 64-codepoint stat cap leave smax absent
+    (a truncated max would falsely bound above) — chunk must be kept."""
+    long_tail = "z" * 100
+    df = spark.createDataFrame(
+        [(1, "a" + long_tail), (2, "ab")], "id long, k string"
+    )
+    chunks = encode_table(df, num_partitions=1)
+    chunks.cache().count()
+    # lo bound beyond the truncated 64-char prefix of value 1: the chunk
+    # must survive because its max is unbounded in the stats
+    got = decode_table_where(chunks, df.schema, "k", "a" + "z" * 70, None)
+    assert {r["id"] for r in got.collect()} == {1}
+    chunks.unpersist()
+
+
 def test_pruning_empty_range_decodes_nothing(spark):
     df = make_tokens_table(spark, 500, seed=14)
     chunks = encode_table(df, partition_by=("source", "doc_id"),
