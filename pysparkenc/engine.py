@@ -836,9 +836,28 @@ def _decode_scalar_array(
 
 def decode_table(chunks_df: DataFrame, schema: StructType | None = None) -> DataFrame:
     """Inverse of :func:`encode_table`: chunk rows -> original rows.
-    Struct columns reassemble from their dotted leaf chunks bottom-up."""
+    Struct columns reassemble from their dotted leaf chunks bottom-up.
+
+    Column projection pushes down through the encoded representation:
+    pass a schema containing only the columns you need and the chunk scan
+    is filtered to exactly those chunks (plus their validity/length side
+    chunks) *before* the group shuffle — on a parquet-backed chunk table
+    the filter reaches the scan as a pushed predicate, the Spark-side
+    analogue of the reference's SetSelectedColumns + SkipChunk
+    (schema/schema.go:212-232, layout/chunk.go:28-51)."""
     if schema is None:
         schema = output_schema_of_chunks(chunks_df)
+    leaves, structs = _flatten_schema(schema.fields)
+    allowed: set[str] = set()
+    for path, _, lg in leaves:
+        allowed.update((path, f"{path}#def", f"{path}#len", f"{path}#edef"))
+        if lg.startswith("map<"):
+            allowed.update(
+                (f"{path}#key", f"{path}#val", f"{path}#valdef")
+            )
+    for spath, _ in structs:
+        allowed.add(f"{spath}#def")
+    chunks_df = chunks_df.where(F.col("col").isin(sorted(allowed)))
     out_pa_schema = pa.schema(
         [(f.name, _arrow_full_type(f.dataType, f.name)) for f in schema.fields]
     )

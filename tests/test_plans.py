@@ -147,3 +147,27 @@ def test_decode_groups_without_sort(spark):
         if "Exchange hashpartitioning(part_id" in l and "chunk_id" in l
     ]
     assert len(group_exchanges) == 1
+
+
+def test_decode_projection_pushes_chunk_filter(spark, tmp_path):
+    """decode_table with a projected schema filters the chunk scan to the
+    needed chunks BEFORE the group shuffle; on a parquet-backed chunk
+    table the In(col, ...) predicate reaches the scan."""
+    from pyspark.sql.types import StructType
+
+    from pysparkenc.engine import decode_table, encode_table
+    from pysparkenc.synth import make_tokens_table
+
+    df = make_tokens_table(spark, 300, seed=5)
+    path = str(tmp_path / "chunks")
+    encode_table(df, num_partitions=2).write.parquet(path)
+    chunks = spark.read.parquet(path)
+
+    proj = StructType([df.schema["doc_id"], df.schema["n_tok"]])
+    out = decode_table(chunks, proj)
+    plan = plan_of(out, "formatted")
+    assert "PushedFilters" in plan and "col" in plan
+    # and the result is the correct 2-column projection
+    got = {r["doc_id"]: r["n_tok"] for r in out.collect()}
+    want = {r["doc_id"]: r["n_tok"] for r in df.collect()}
+    assert got == want
