@@ -351,7 +351,14 @@ therefore local[{ns}] -> local[{nb}] — both inside real capacity, same
 | local[{nb}] (4N) | {s['wall_sec_4n']} | {s['tokens_per_sec_4n']:,.0f} | {s['decode_tokens_per_sec_4n']:,.0f} |
 
 **Scaling efficiency = (tp_4N / tp_N) / 4 = {s['value']}** (target >= 0.8:
-{"PASS" if s['passes_0.8'] else "FAIL"}).
+{"PASS" if s['passes_0.8'] else "FAIL"}). Legs run interleaved,
+best-of-3 each; a super-linear reading means residual shared-host
+contention still taxed the small leg.
+
+Note: the timed region must dominate fixed per-job overheads for this
+metric to mean anything — at 200k rows the (now much faster) encoder
+finishes in ~2s and scheduling noise reads as ~0.4 efficiency; 4M rows
+(~300M tokens) keeps the parallel region >90% of wall.
 
 The reference's read path is single-threaded value-at-a-time Go
 (file-reader.go:99-107, zero goroutines); its write path is unimplemented
@@ -359,6 +366,16 @@ The reference's read path is single-threaded value-at-a-time Go
 parallel.
 
 Compression ratio (plain/encoded, auto-selected codecs): {s['compression_ratio']}.
+
+## Quality gates measured alongside throughput
+
+- ANN recall@5 (multi-table hyperplane LSH, 8 tables x 16 buckets, the
+  `ann_lsh_topk` contract configuration) vs the exact `cosine_topk` scan:
+  **0.68** on the driver embeddings at sf0.01; floor >= 0.6 pinned in
+  `tests/test_ann_recall.py`. Single-table single-probe LSH measured
+  0.03-0.2 and was replaced.
+- Auto-selected chunks stay smaller than pyarrow *uncompressed* parquet
+  (`tests/test_size_vs_parquet.py`).
 
 Reproduce: `python bench.py --scaling --rows {s['rows']}`.
 Headline per-query timings land in BENCH_r{{N}}.json via `python bench.py`.
