@@ -40,22 +40,36 @@ def factorize_bytes(
 ) -> tuple[np.ndarray, np.ndarray, bytes]:
     """Factorize a binary column in offsets+data form.
 
-    Returns (codes int32, dict_offsets int64, dict_data).
+    Returns (codes int32, dict_offsets int64, dict_data) with the
+    dictionary in first-occurrence order (DictStore order). Runs through
+    Arrow's hash kernel over a zero-copy LargeBinaryArray view — the
+    previous np.split + per-value ``bytes`` path materialized n Python
+    objects and dominated the string-encode profile.
     """
     n = offsets.size - 1
     if n == 0:
         return (np.empty(0, dtype=np.int32), np.zeros(1, dtype=np.int64), b"")
-    raw = np.frombuffer(data, dtype=np.uint8)
-    views = np.split(raw, offsets[1:-1]) if n > 1 else [raw[offsets[0]:offsets[-1]]]
-    objs = np.empty(n, dtype=object)
-    for i, v in enumerate(views):
-        objs[i] = v.tobytes()
-    codes, uniques = pd.factorize(objs, use_na_sentinel=False)
-    lens = np.fromiter((len(u) for u in uniques), dtype=np.int64, count=len(uniques))
-    dict_offsets = np.zeros(len(uniques) + 1, dtype=np.int64)
-    np.cumsum(lens, out=dict_offsets[1:])
-    dict_data = b"".join(uniques)
-    return codes.astype(np.int32), dict_offsets, dict_data
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    off = np.ascontiguousarray(offsets, dtype=np.int64)
+    arr = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), n, [None, pa.py_buffer(off), pa.py_buffer(data)]
+    )
+    denc = pc.dictionary_encode(arr)  # dictionary = first-occurrence order
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int32)
+    d = denc.dictionary
+    dbufs = d.buffers()
+    d_off = np.frombuffer(
+        dbufs[1], dtype=np.int64, count=len(d) + 1, offset=d.offset * 8
+    )
+    base = int(d_off[0])
+    dict_data = (
+        bytes(memoryview(dbufs[2])[base : int(d_off[-1])])
+        if dbufs[2] is not None
+        else b""
+    )
+    return codes, (d_off - base).astype(np.int64), dict_data
 
 
 def dict_index_bit_width(n_unique: int) -> int:

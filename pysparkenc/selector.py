@@ -179,7 +179,8 @@ def select_bytes(offsets: np.ndarray, data: bytes) -> Choice:
     fsst_symbols = None
     avg_len = total / max(1, n)
     best_so_far = min(sizes.values())
-    # FSST training is the selector's priciest probe; skip it when an
+    # FSST training is the selector's priciest probe (the estimate
+    # itself trains on a 512-row internal sample); skip it when an
     # earlier candidate already beats FSST's practical floor (~35% of
     # plain — symbol codes are >=1 byte per ~2.9 input bytes on text)
     if avg_len <= 256 and best_so_far > 0.35 * sizes["ba_plain"]:
