@@ -148,3 +148,33 @@ def test_string_list_values_use_byte_codecs(spark):
     )
     # heavy duplication -> the dictionary should win
     assert any(r["codec"] == "dict_rle" for r in meta)
+
+
+def test_empty_table_with_new_types_roundtrips(spark):
+    """0-row tables with struct/map/date/decimal columns must encode to
+    zero chunk rows and decode back empty with the right schema."""
+    import datetime as dt  # noqa: F401
+
+    df = spark.createDataFrame(
+        [],
+        "id long, s struct<a:int,b:string>, m map<string,double>, "
+        "d date, p decimal(10,2), ws array<string>",
+    )
+    chunks = encode_table(df, num_partitions=2)
+    dec = decode_table(chunks, df.schema)
+    assert dec.count() == 0
+    assert dec.schema == df.schema
+
+
+def test_single_row_with_new_types(spark):
+    from decimal import Decimal as D
+    import datetime as dt
+
+    row = (1, (2, "x"), {"k": 1.5}, dt.date(2024, 1, 1), D("9.99"), ["a", None])
+    df = spark.createDataFrame(
+        [row],
+        "id long, s struct<a:int,b:string>, m map<string,double>, "
+        "d date, p decimal(10,2), ws array<string>",
+    )
+    got = decode_table(encode_table(df, num_partitions=1), df.schema).collect()[0]
+    assert (got["id"], got["s"], got["m"], got["d"], got["p"], got["ws"]) == row
