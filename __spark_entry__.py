@@ -265,6 +265,17 @@ def q_roundtrip_bools(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_table(chunks, df.schema)
 
 
+def q_roundtrip_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-compression layer under the value-hash gate: gzip over the
+    encoded payloads (kept per chunk only when smaller, recorded in
+    extra.comp — the reference's BlockCompressor layering,
+    compression/compressor.go:3-6), decode must remain bit-identical."""
+    df = _read(spark, sf_dir, "documents")
+    chunks = encode_table(df, partition_by=("source", "doc_id"),
+                          compression="gzip")
+    return decode_table(chunks, df.schema)
+
+
 def q_roundtrip_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Struct shredding end-to-end: build a 2-level struct over customer
     with nulls at both levels, encode (dotted leaf chunks + `#def`
@@ -581,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_embeddings": q_roundtrip_embeddings,
         "roundtrip_nullable": q_roundtrip_nullable,
         "roundtrip_bools": q_roundtrip_bools,
+        "roundtrip_compressed": q_roundtrip_compressed,
         "roundtrip_structs": q_roundtrip_structs,
         "roundtrip_fixed_binary": q_roundtrip_fixed_binary,
         "roundtrip_arrays_maps": q_roundtrip_arrays_maps,
@@ -685,6 +697,9 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_bools": (
             "SELECT event_id, value > 0 AS is_pos, event_id >= 0 AS always_true, "
             "event_id % 16 = 0 AS sparse FROM events"
+        ),
+        "roundtrip_compressed": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
         ),
         "roundtrip_structs": (
             "SELECT c_custkey, "
