@@ -588,6 +588,7 @@ def encode_table(
     codec: str | dict[str, str] | None = None,
     group_key_col: str | None = None,
     compression: str | None = None,
+    rows_per_chunk: int | None = 2048,
 ) -> DataFrame:
     """Encode every column of ``df`` into chunk rows (CHUNK_SCHEMA).
 
@@ -595,6 +596,12 @@ def encode_table(
     forces one codec for every column; a dict maps column -> codec.
     ``compression``: optional block compression over the encoded payload
     (reference's compression/ layer); kept per-chunk only when smaller.
+    ``rows_per_chunk``: split each Arrow batch into zero-copy row slices
+    of at most this size, one chunk group each — the analogue of the
+    reference's page granularity (layout/page.go): the codec selector
+    then adapts to local value distributions instead of averaging over a
+    whole batch, which measurably improves the ratio on mixed-profile
+    data. None = one chunk group per Arrow batch.
     """
     spark = df.sparkSession
     if num_partitions is None:
@@ -644,7 +651,8 @@ def encode_table(
     def encode_iter(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else 0
-        for seq, batch in enumerate(batches):
+        seq = 0
+        for batch in batches:
             if batch.num_rows == 0:
                 continue
             gk = None
@@ -652,8 +660,12 @@ def encode_table(
                 gk = str(
                     batch.column(batch.schema.get_field_index(gk_col))[0]
                 )
-            yield _encode_arrow_batch(batch, cols, structs, pid, seq, gk,
-                                      codec_for, compression)
+            step = rows_per_chunk or batch.num_rows
+            for start in range(0, batch.num_rows, step):
+                sub = batch.slice(start, step)
+                yield _encode_arrow_batch(sub, cols, structs, pid, seq, gk,
+                                          codec_for, compression)
+                seq += 1
 
     return shuffled.mapInArrow(encode_iter, CHUNK_SCHEMA)
 
