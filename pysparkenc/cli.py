@@ -57,6 +57,8 @@ def cmd_encode(args: argparse.Namespace) -> int:
         partition_by=_parse_partition_by(args.partition_by),
         num_partitions=args.num_partitions,
         codec=None if args.codec in (None, "auto") else args.codec,
+        compression=None if args.compression in (None, "none") else args.compression,
+        rows_per_chunk=args.rows_per_chunk,
         resume=args.resume,
     )
     print(json.dumps(metrics))
@@ -103,6 +105,8 @@ def main(argv: list[str] | None = None) -> int:
     enc.add_argument("--partition-by", default=None)
     enc.add_argument("--num-partitions", type=int, default=None)
     enc.add_argument("--codec", default="auto")
+    enc.add_argument("--compression", default="none")
+    enc.add_argument("--rows-per-chunk", type=int, default=2048)
     enc.add_argument("--columns", default=None)
     enc.add_argument("--resume", action=argparse.BooleanOptionalAction,
                      default=True)

@@ -116,6 +116,8 @@ def encode_with_lineage(
     partition_by: tuple[str, ...] | None = None,
     num_partitions: int | None = None,
     codec: str | dict[str, str] | None = None,
+    compression: str | None = None,
+    rows_per_chunk: int | None = 2048,
     resume: bool = True,
     drop_part_ids: frozenset[int] | None = None,
     batch_id: int | None = None,
@@ -159,7 +161,8 @@ def encode_with_lineage(
             }
     run_id = _next_run_id(spark, path)
     chunks = encode_table(
-        df, partition_by=partition_by, num_partitions=num_partitions, codec=codec
+        df, partition_by=partition_by, num_partitions=num_partitions,
+        codec=codec, compression=compression, rows_per_chunk=rows_per_chunk,
     )
     skipped = 0
     if resume:
