@@ -108,10 +108,11 @@ def test_ann_lsh_join_is_bucket_equi_join(emb):
     plan = plan_of(ann_lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=3,
                                 planes=4, tables=4))
     # (table, bucket)-key equi-join with the small query side broadcast:
-    # corpus is never replicated beyond the tables× explode, candidates
-    # stay bucket-local
-    assert "BroadcastHashJoin" in plan and "tb" in plan
-    assert "NestedLoop" not in plan
+    # corpus is never replicated beyond the tables× bucketing pass,
+    # candidates stay bucket-local; bucket ids come from one Arrow-batch
+    # matmul (MapInArrow), never a per-row Python loop
+    assert "BroadcastHashJoin" in plan and "MapInArrow" in plan
+    assert "NestedLoop" not in plan and "BatchEvalPython" not in plan
 
 
 def test_encode_pipeline_single_python_stage(spark):
