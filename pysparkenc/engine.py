@@ -24,6 +24,27 @@ the Spark-idiomatic pipeline from SURVEY.md §3:
 - decode_table groups the chunk rows back with ``applyInArrow`` and emits
   the original schema; round-trip is bit-identical (token-array equality
   per row — the BASELINE.json invariant).
+
+Nested data (the reference's full Dremel tree, ``schema/column.go:259-304``
+builds rep/def levels for REPEATED groups, reassembly
+``datastore/column.go:127-177``) is shredded *recursively* into flat chunk
+streams — repetition levels collapse to one offsets/length chunk per list
+nesting level, definition levels to one validity bitvector chunk per
+nullable node. Chunk naming grammar (user column names must not contain
+``#``; dots are the struct separator — same documented convention as the
+reference's dotted paths ``schema/column.go:75-77``):
+
+    {path}        scalar value chunk / list-or-map length chunk
+    {path}#def    validity bitvector (present = True) over the node's slots
+    {path}.{f}    struct field subtree
+    {path}#item   list element subtree (slots = sum of lengths)
+    {path}#key    map key subtree          {path}#val  map value subtree
+
+This composes to any depth: ``spans: array<struct<start,end>>`` becomes
+``spans`` (lengths) + ``spans#item#def`` (element validity) +
+``spans#item.start`` / ``spans#item.end`` leaf chunks, and
+``array<array<int>>`` becomes two nested length chunks over one flat
+int stream — exactly the Dremel shredding, expressed as columnar chunks.
 """
 
 from __future__ import annotations
@@ -136,46 +157,50 @@ def _logical_of_dtype(dt, name: str) -> str:
         # 2612): near-sorted day numbers delta-pack beautifully
         return "date_day"
     if isinstance(dt, DecimalType):
-        # DECIMAL(p<=18, s) over the scaled int64 (scale/precision carried
-        # like datastore/column-parameters.go:6-13)
-        if dt.precision > 18:
+        # DECIMAL over the unscaled integer, scale/precision carried like
+        # datastore/column-parameters.go:6-13: p<=18 rides int64, p<=38
+        # rides 16-byte FIXED_LEN_BYTE_ARRAY (parquet/parquet.go:2597-2612
+        # FLBA-backed decimals)
+        if dt.precision > 38:
             raise TypeError(
-                f"unsupported decimal precision {dt.precision} for {name}: "
-                "only precision <= 18 (int64-backed) is supported"
+                f"unsupported decimal precision {dt.precision} for {name}"
             )
         return f"decimal({dt.precision},{dt.scale})"
     if isinstance(dt, ArrayType):
-        if isinstance(dt.elementType, (ArrayType, MapType, StructType)):
-            raise TypeError(
-                f"nested element type in array column {name} is unsupported: "
-                f"{dt.elementType}"
-            )
         return f"list<{_logical_of_dtype(dt.elementType, name)}>"
     if isinstance(dt, MapType):
-        for part, label in ((dt.keyType, "key"), (dt.valueType, "value")):
-            if isinstance(part, (ArrayType, MapType, StructType)):
-                raise TypeError(
-                    f"nested {label} type in map column {name} is "
-                    f"unsupported: {part}"
-                )
         k = _logical_of_dtype(dt.keyType, name)
         v = _logical_of_dtype(dt.valueType, name)
         return f"map<{k},{v}>"
+    if isinstance(dt, StructType):
+        if not dt.fields:
+            raise TypeError(f"empty struct column {name} cannot be encoded")
+        inner = ",".join(
+            f"{f.name}:{_logical_of_dtype(f.dataType, name)}" for f in dt.fields
+        )
+        return f"struct<{inner}>"
     raise TypeError(f"unsupported column type for encoding: {name}: {dt}")
 
 
-def _split_map_logical(logical: str) -> tuple[str, str]:
-    """('k', 'v') from 'map<k,v>'; paren-aware (decimal(p,s) keys/values)."""
-    inner = logical[4:-1]
-    depth = 0
-    for i, ch in enumerate(inner):
-        if ch == "(":
+def _split_toplevel(s: str) -> list[str]:
+    """Split on commas at bracket depth 0 (``<>`` and ``()`` aware)."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch in "<(":
             depth += 1
-        elif ch == ")":
+        elif ch in ">)":
             depth -= 1
         elif ch == "," and depth == 0:
-            return inner[:i], inner[i + 1 :]
-    raise ValueError(f"malformed map logical {logical}")
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return parts
+
+
+def _split_map_logical(logical: str) -> tuple[str, str]:
+    """('k', 'v') from 'map<k,v>'; nesting-aware."""
+    k, v = _split_toplevel(logical[4:-1])
+    return k, v
 
 
 def _phys_of(logical: str) -> str | None:
@@ -185,7 +210,8 @@ def _phys_of(logical: str) -> str | None:
     reference's ConvertedType/LogicalType annotations over physical
     parquet types (parquet/parquet.go:2597-2612): DATE is int32
     epoch-days, DECIMAL(p<=18,s) is the unscaled int64, timestamps are
-    int64 microseconds."""
+    int64 microseconds. DECIMAL(p>18) is byte-backed (16-byte FLBA) and
+    returns None here."""
     if logical in ("int32", "int64", "float32", "float64"):
         return logical
     if logical.startswith("timestamp"):
@@ -193,7 +219,8 @@ def _phys_of(logical: str) -> str | None:
     if logical == "date_day":
         return "int32"
     if logical.startswith("decimal("):
-        return "int64"
+        p, _ = _decimal_params(logical)
+        return "int64" if p <= 18 else None
     return None
 
 
@@ -237,45 +264,51 @@ def _int64_to_decimal(
     )
 
 
-def _flatten_schema(
-    fields, prefix: str = "", ordinal: list[int] | None = None
-) -> tuple[list[tuple[str, int, str]], list[tuple[str, int]]]:
-    """Shred nested structs to dotted leaf paths, the reference's column
-    naming scheme (schema/column.go:75-77, schema/column.go:259-304):
-    ``StructType`` fields become ``parent.child`` leaf columns plus a
-    ``parent#def`` validity chunk when the struct itself is nullable.
-    Returns (leaves [(path, ordinal, logical)], structs [(path, ordinal)])
-    in depth-first schema order. Dots in plain column names would collide
-    with this scheme — same documented convention as the reference."""
-    if ordinal is None:
-        ordinal = [0]
-    leaves: list[tuple[str, int, str]] = []
-    structs: list[tuple[str, int]] = []
-    for f in fields:
-        path = prefix + f.name
-        if isinstance(f.dataType, StructType):
-            if not f.dataType.fields:
-                raise TypeError(f"empty struct column {path} cannot be encoded")
-            structs.append((path, ordinal[0]))
-            ordinal[0] += 1
-            sub_l, sub_s = _flatten_schema(
-                f.dataType.fields, path + ".", ordinal
-            )
-            leaves += sub_l
-            structs += sub_s
-        else:
-            leaves.append((path, ordinal[0], _logical_of_dtype(f.dataType, path)))
-            ordinal[0] += 1
-    return leaves, structs
+def _decimal_to_fixed(arr: pa.Array) -> bytes:
+    """Raw 16-byte little-endian payload of a decimal128 array — the
+    FIXED_LEN_BYTE_ARRAY backing the reference uses for wide decimals
+    (parquet/parquet.go:2597-2612 + datastore/column-parameters.go:6-13)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    return bytes(memoryview(arr.buffers()[1])[arr.offset * 16 : (arr.offset + n) * 16])
 
 
-def _leaf_of(batch: pa.RecordBatch, path: str) -> pa.Array:
-    """Navigate a dotted path to the leaf (or struct) array."""
-    parts = path.split(".")
-    arr = batch.column(batch.schema.get_field_index(parts[0]))
-    for p in parts[1:]:
-        arr = arr.field(p)
-    return arr
+def _fixed_to_decimal(
+    data: bytes, logical: str, n_out: int, valid: np.ndarray | None
+) -> pa.Array:
+    """16-byte FLBA payload -> decimal128 array, scattering under valid."""
+    p, s = _decimal_params(logical)
+    vals = np.frombuffer(data, dtype=np.uint8).reshape(-1, 16)
+    if valid is not None:
+        full = np.zeros((n_out, 16), dtype=np.uint8)
+        full[valid] = vals
+        validity = pa.py_buffer(np.packbits(valid, bitorder="little"))
+        null_count = int(n_out - valid.sum())
+    else:
+        full = vals
+        validity, null_count = None, 0
+    return pa.Array.from_buffers(
+        pa.decimal128(p, s), n_out,
+        [validity, pa.py_buffer(np.ascontiguousarray(full).tobytes())],
+        null_count=null_count,
+    )
+
+
+def _subtree_chunk_names(path: str, dt) -> set[str]:
+    """Every chunk name the subtree rooted at (path, dt) may emit — the
+    decode-side projection filter (SetSelectedColumns + SkipChunk analogue,
+    schema/schema.go:212-232, layout/chunk.go:28-51)."""
+    names = {path, f"{path}#def"}
+    if isinstance(dt, StructType):
+        for f in dt.fields:
+            names |= _subtree_chunk_names(f"{path}.{f.name}", f.dataType)
+    elif isinstance(dt, ArrayType):
+        names |= _subtree_chunk_names(f"{path}#item", dt.elementType)
+    elif isinstance(dt, MapType):
+        names |= _subtree_chunk_names(f"{path}#key", dt.keyType)
+        names |= _subtree_chunk_names(f"{path}#val", dt.valueType)
+    return names
 
 
 # ---------------------------------------------------------------------------
@@ -368,6 +401,13 @@ def _encode_scalar_chunk(
             values = arr.to_numpy(zero_copy_only=False)
         return chunklib.encode_numeric(name, values, phys, codec,
                                        compression=compression)
+    if logical.startswith("decimal("):
+        # DECIMAL(18 < p <= 38): 16-byte FLBA payloads through the
+        # fixed-width byte path (the selector picks ba_fixed — zero
+        # offset overhead — or dict_rle on heavy duplication)
+        data_buf = _decimal_to_fixed(arr)
+        offsets = np.arange(len(arr) + 1, dtype=np.int64) * 16
+        return chunklib.encode_bytes(name, offsets, data_buf, codec)
     if logical == "bool":
         values = arr.to_numpy(zero_copy_only=False)
         return chunklib.encode_bool(name, values, codec)
@@ -417,127 +457,107 @@ def _attach_string_stats(ck: chunklib.EncodedChunk, arr: pa.Array) -> None:
 
 def _encode_arrow_batch(
     batch: pa.RecordBatch,
-    cols: list[tuple[str, int, str]],
-    structs: list[tuple[str, int]],
+    fields,
     part_id: int,
     chunk_id: int,
     group_key: str | None,
     codec_for: dict[str, str],
+    default_codec: str | None = None,
     compression: str | None = None,
 ) -> pa.RecordBatch:
+    """Shred one Arrow batch into chunk rows by recursive descent over the
+    schema tree — the flat-chunk collapse of the reference's rep/def-level
+    shredder (schema/column.go:259-304): REPEATED nodes become length
+    chunks, nullable nodes become validity chunks, leaves become value
+    chunks, composable to any depth.
+
+    ``codec_for`` routes forced codecs: an exact chunk-path key wins;
+    a key naming a container (list/map/struct) is inherited by every
+    scalar *value* chunk in its subtree (so ``codec={"mymap": "dict_rle"}``
+    forces the key/value chunks — never a silent no-op). Length chunks
+    take only the exact ``{path}#len`` key; validity only ``{path}#def``.
+    """
     n_rows = batch.num_rows
     out_rows: list[dict] = []
-    # Struct validity first (parents before children by flatten order): a
-    # null struct masks every descendant leaf, so each leaf's validity is
-    # AND-ed with its enclosing struct's combined validity below — the
-    # flat-bitvector collapse of multi-level definition levels
-    # (datastore/column.go:136-142).
-    struct_valid: dict[str, np.ndarray] = {}
-    for spath, sidx in structs:
-        sarr = _leaf_of(batch, spath)
-        v = sarr.is_valid().to_numpy(zero_copy_only=False)
-        parent = spath.rsplit(".", 1)[0] if "." in spath else None
-        if parent in struct_valid:
-            v = v & struct_valid[parent]
-        struct_valid[spath] = v
-        if not v.all():
-            vk = chunklib.encode_bool(
-                f"{spath}#def", v, codec_for.get(f"{spath}#def")
-            )
-            out_rows.append(_chunk_row(vk, part_id, chunk_id, group_key,
-                                       sidx, "bool", n_rows, compression))
-    for name, idx, logical in cols:
-        arr = _leaf_of(batch, name)
-        parent = name.rsplit(".", 1)[0] if "." in name else None
-        enclosing = struct_valid.get(parent)
+    ordinal = [0]
+
+    def emit(ck: chunklib.EncodedChunk, idx: int, logical: str) -> None:
+        out_rows.append(_chunk_row(ck, part_id, chunk_id, group_key, idx,
+                                   logical, n_rows, compression))
+
+    def rec(path, arr, dt, enclosing, inherited) -> None:
+        idx = ordinal[0]
+        ordinal[0] += 1
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        inherited = codec_for.get(path, inherited)
+        n = len(arr)
+        if isinstance(dt, StructType):
+            if not dt.fields:
+                raise TypeError(f"empty struct column {path} cannot be encoded")
+            # a null struct masks every descendant: children's validity is
+            # AND-ed with the combined struct validity (the flat-bitvector
+            # collapse of multi-level definition levels,
+            # datastore/column.go:136-142)
+            v = arr.is_valid().to_numpy(zero_copy_only=False)
+            if enclosing is not None:
+                v = v & enclosing
+            has_nulls = not bool(v.all())
+            if has_nulls:
+                emit(chunklib.encode_bool(f"{path}#def", v,
+                                          codec_for.get(f"{path}#def")),
+                     idx, "bool")
+            child_mask = v if has_nulls else None
+            for f in dt.fields:
+                rec(f"{path}.{f.name}", arr.field(f.name), f.dataType,
+                    child_mask, inherited)
+            return
         if enclosing is not None:
             valid = arr.is_valid().to_numpy(zero_copy_only=False) & enclosing
-            null_count = int(n_rows - int(valid.sum()))
+            null_count = n - int(valid.sum())
         else:
             null_count = arr.null_count
             valid = None
         if null_count:
-            # Nullable column: the reference expresses NULLs through
-            # definition levels (datastore/column.go:136-142); for flat
-            # columns max-def-level is 1, so the level stream collapses to
-            # a validity bitvector. Store it as a sibling `{name}#def`
-            # chunk through the boolean codecs (RLE shines: null runs are
-            # long in real data) and encode only the non-null values.
+            # Nullable node: the definition-level stream collapses to a
+            # validity bitvector stored as a sibling `{path}#def` chunk
+            # through the boolean codecs (RLE shines: null runs are long
+            # in real data); only present values are encoded.
             if valid is None:
                 valid = arr.is_valid().to_numpy(zero_copy_only=False)
             arr = arr.filter(pa.array(valid))
-            vk = chunklib.encode_bool(
-                f"{name}#def", valid, codec_for.get(f"{name}#def")
-            )
-            out_rows.append(_chunk_row(vk, part_id, chunk_id, group_key,
-                                       idx, "bool", n_rows, compression))
-        codec = codec_for.get(name)
-        if logical.startswith("list<") or logical.startswith("map<"):
-            if isinstance(arr, pa.ChunkedArray):
-                arr = arr.combine_chunks()
-            la = arr
-            offsets = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            emit(chunklib.encode_bool(f"{path}#def", valid,
+                                      codec_for.get(f"{path}#def")),
+                 idx, "bool")
+        logical = _logical_of_dtype(dt, path)
+        if isinstance(dt, (ArrayType, MapType)):
+            offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
             lengths = np.diff(offsets).astype(np.int32)
             lo, span = int(offsets[0]), int(offsets[-1] - offsets[0])
-            if logical.startswith("map<"):
-                # the map's main `{name}` chunk IS its entry-count stream
-                # (logical map<k,v>, dtype int32); flattened keys/values
-                # ride side chunks like struct leaves
-                klog, vlog = _split_map_logical(logical)
-                mk = chunklib.encode_numeric(name, lengths, "int32",
-                                             codec_for.get(f"{name}#len"))
-                mk.null_count = null_count
-                out_rows.append(_chunk_row(mk, part_id, chunk_id, group_key,
-                                           idx, logical, n_rows, compression))
-                keys = la.keys.slice(lo, span)
-                items = la.items.slice(lo, span)
-                kck = _encode_scalar_chunk(f"{name}#key", keys, klog,
-                                           codec_for.get(f"{name}#key"),
-                                           compression)
-                out_rows.append(_chunk_row(kck, part_id, chunk_id, group_key,
-                                           idx, klog, n_rows, compression))
-                if items.null_count:
-                    vvalid = items.is_valid().to_numpy(zero_copy_only=False)
-                    items = items.filter(pa.array(vvalid))
-                    vdk = chunklib.encode_bool(
-                        f"{name}#valdef", vvalid,
-                        codec_for.get(f"{name}#valdef"),
-                    )
-                    out_rows.append(_chunk_row(vdk, part_id, chunk_id,
-                                               group_key, idx, "bool",
-                                               n_rows, compression))
-                vck = _encode_scalar_chunk(f"{name}#val", items, vlog,
-                                           codec_for.get(f"{name}#val"),
-                                           compression)
-                out_rows.append(_chunk_row(vck, part_id, chunk_id, group_key,
-                                           idx, vlog, n_rows, compression))
+            # the container's primary `{path}` chunk IS its length stream
+            # (repetition levels collapsed to per-slot counts); logical
+            # carries the full recursive type for schema recovery
+            lk = chunklib.encode_numeric(path, lengths, "int32",
+                                         codec_for.get(f"{path}#len"))
+            lk.null_count = null_count
+            emit(lk, idx, logical)
+            if isinstance(dt, MapType):
+                rec(f"{path}#key", arr.keys.slice(lo, span), dt.keyType,
+                    None, inherited)
+                rec(f"{path}#val", arr.items.slice(lo, span), dt.valueType,
+                    None, inherited)
             else:
-                lk = chunklib.encode_numeric(f"{name}#len", lengths, "int32",
-                                             codec_for.get(f"{name}#len"))
-                out_rows.append(_chunk_row(lk, part_id, chunk_id, group_key,
-                                           idx, "int32", n_rows, compression))
-                child_logical = logical[5:-1]
-                values = la.values.slice(lo, span)
-                if values.null_count:
-                    evalid = values.is_valid().to_numpy(zero_copy_only=False)
-                    values = values.filter(pa.array(evalid))
-                    edk = chunklib.encode_bool(
-                        f"{name}#edef", evalid,
-                        codec_for.get(f"{name}#edef"),
-                    )
-                    out_rows.append(_chunk_row(edk, part_id, chunk_id,
-                                               group_key, idx, "bool",
-                                               n_rows, compression))
-                ck = _encode_scalar_chunk(name, values, child_logical,
-                                          codec, compression)
-                ck.null_count = null_count
-                out_rows.append(_chunk_row(ck, part_id, chunk_id, group_key,
-                                           idx, logical, n_rows, compression))
-        else:
-            ck = _encode_scalar_chunk(name, arr, logical, codec, compression)
-            ck.null_count = null_count
-            out_rows.append(_chunk_row(ck, part_id, chunk_id, group_key, idx,
-                                       logical, n_rows, compression))
+                rec(f"{path}#item", arr.values.slice(lo, span),
+                    dt.elementType, None, inherited)
+            return
+        ck = _encode_scalar_chunk(path, arr, logical, inherited, compression)
+        ck.null_count = null_count
+        emit(ck, idx, logical)
+
+    for f in fields:
+        rec(f.name, batch.column(batch.schema.get_field_index(f.name)),
+            f.dataType, None, default_codec)
+
     cols_data = {
         k: [r[k] for r in out_rows] for k in _CHUNK_PA_SCHEMA.names
     }
@@ -593,9 +613,11 @@ def encode_table(
     """Encode every column of ``df`` into chunk rows (CHUNK_SCHEMA).
 
     ``codec``: None = auto-select per chunk (SURVEY.md §7.3); a string
-    forces one codec for every column; a dict maps column -> codec.
-    ``compression``: optional block compression over the encoded payload
-    (reference's compression/ layer); kept per-chunk only when smaller.
+    forces one codec for every scalar value chunk; a dict maps chunk
+    path -> codec (a container path is inherited by its subtree's value
+    chunks). ``compression``: optional block compression over the encoded
+    payload (reference's compression/ layer); kept per-chunk only when
+    smaller.
     ``rows_per_chunk``: split each Arrow batch into zero-copy row slices
     of at most this size, one chunk group each — the analogue of the
     reference's page granularity (layout/page.go): the codec selector
@@ -609,13 +631,14 @@ def encode_table(
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism * 2
 
-    cols, structs = _flatten_schema(df.schema.fields)
+    for f in df.schema.fields:
+        _logical_of(f)  # validate the schema eagerly (driver-side error)
     if isinstance(codec, str):
-        # force the codec on every leaf value chunk; length/validity
-        # side-chunks keep auto-selection
-        codec_for = {name: codec for name, _, _ in cols}
+        codec_for: dict[str, str] = {}
+        default_codec: str | None = codec
     else:
         codec_for = dict(codec or {})
+        default_codec = None
 
     if group_key_col is None and partition_by:
         group_key_col = partition_by[0]
@@ -649,6 +672,7 @@ def encode_table(
         ).repartition(num_partitions, "part_id")
 
     gk_col = group_key_col
+    fields = df.schema.fields
 
     def encode_iter(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         tc = TaskContext.get()
@@ -665,8 +689,9 @@ def encode_table(
             step = rows_per_chunk or batch.num_rows
             for start in range(0, batch.num_rows, step):
                 sub = batch.slice(start, step)
-                yield _encode_arrow_batch(sub, cols, structs, pid, seq, gk,
-                                          codec_for, compression)
+                yield _encode_arrow_batch(sub, fields, pid, seq, gk,
+                                          codec_for, default_codec,
+                                          compression)
                 seq += 1
 
     return shuffled.mapInArrow(encode_iter, CHUNK_SCHEMA)
@@ -687,6 +712,12 @@ def _arrow_type_of(logical: str) -> pa.DataType:
     if logical.startswith("map<"):
         k, v = _split_map_logical(logical)
         return pa.map_(_arrow_type_of(k), _arrow_type_of(v))
+    if logical.startswith("struct<"):
+        fields = []
+        for part in _split_toplevel(logical[7:-1]):
+            fname, ftype = part.split(":", 1)
+            fields.append(pa.field(fname, _arrow_type_of(ftype), True))
+        return pa.struct(fields)
     return {
         "int32": pa.int32(),
         "int64": pa.int64(),
@@ -711,6 +742,12 @@ def _spark_type_of(logical: str):
     if logical.startswith("map<"):
         k, v = _split_map_logical(logical)
         return MapType(_spark_type_of(k), _spark_type_of(v))
+    if logical.startswith("struct<"):
+        fields = []
+        for part in _split_toplevel(logical[7:-1]):
+            fname, ftype = part.split(":", 1)
+            fields.append(StructField(fname, _spark_type_of(ftype), True))
+        return StructType(fields)
     return {
         "int32": IntegerType(),
         "int64": LongType(),
@@ -751,14 +788,20 @@ def output_schema_of_chunks(chunks_df: DataFrame) -> StructType:
     """Recover the original table schema from chunk metadata (a column is
     nullable iff any of its chunks recorded nulls). Dotted chunk names
     reassemble into nested structs (the reference's dotted leaf paths,
-    schema/column.go:75-77); a ``path#def`` chunk with no matching value
-    chunk marks a nullable struct."""
+    schema/column.go:75-77); a top-level ``path#def`` chunk with no
+    matching primary chunk marks a nullable struct. Container logicals
+    (``list<…>``, ``map<…,…>``, nested ``struct<…>``) are parsed
+    recursively; nested-node nullability defaults to nullable."""
+    base = F.expr("substring(col, 1, length(col) - 4)")
     meta = (
         chunks_df.select("col", "col_idx", "logical", "null_count")
-        # value chunks never contain '#'; the only side chunks we need
-        # are the struct-validity `#def` rows (all other `#…` suffixes —
-        # len/key/val/edef/valdef — are reassembly details)
-        .where(~F.col("col").contains("#") | F.col("col").endswith("#def"))
+        # primary chunks never contain '#'; the only side chunks needed
+        # are TOP-LEVEL struct-validity `#def` rows (nested `…#item#def`
+        # etc. are reassembly details)
+        .where(
+            ~F.col("col").contains("#")
+            | (F.col("col").endswith("#def") & ~base.contains("#"))
+        )
         .groupBy("col", "col_idx", "logical")
         .agg(F.max("null_count").alias("nc"))
         .orderBy("col_idx")
@@ -818,6 +861,10 @@ def _decode_scalar_array(
             return _int64_to_decimal(full, logical, valid)
         arr = pa.array(full, mask=nulls) if valid is not None else pa.array(full)
         return arr.cast(_arrow_type_of(logical))
+    if logical.startswith("decimal("):
+        # wide decimal: 16-byte FLBA payload back to decimal128
+        offsets, data = chunklib.decode_bytes(ck)
+        return _fixed_to_decimal(data, logical, n_out, valid)
     if logical == "bool":
         vals = chunklib.decode_bool(ck)
         if valid is not None:
@@ -848,9 +895,17 @@ def _decode_scalar_array(
     return ba.cast(_arrow_type_of(logical))
 
 
-def decode_table(chunks_df: DataFrame, schema: StructType | None = None) -> DataFrame:
+def decode_table(
+    chunks_df: DataFrame,
+    schema: StructType | None = None,
+    *,
+    pages_per_group: int = 32,
+) -> DataFrame:
     """Inverse of :func:`encode_table`: chunk rows -> original rows.
-    Struct columns reassemble from their dotted leaf chunks bottom-up.
+    Nested columns reassemble recursively from their subtree chunks
+    (lengths re-inflate to offsets level by level, validity bitvectors
+    scatter values back under their slots — the inverse Dremel walk of
+    datastore/column.go:127-177, without materializing level streams).
 
     Column projection pushes down through the encoded representation:
     pass a schema containing only the columns you need and the chunk scan
@@ -858,19 +913,19 @@ def decode_table(chunks_df: DataFrame, schema: StructType | None = None) -> Data
     chunks) *before* the group shuffle — on a parquet-backed chunk table
     the filter reaches the scan as a pushed predicate, the Spark-side
     analogue of the reference's SetSelectedColumns + SkipChunk
-    (schema/schema.go:212-232, layout/chunk.go:28-51)."""
+    (schema/schema.go:212-232, layout/chunk.go:28-51).
+
+    ``pages_per_group`` batches that many consecutive chunk groups (pages)
+    of a partition into ONE ``applyInArrow`` call: page granularity keeps
+    its encode-side selector benefits while the decode amortizes the
+    per-call Python/Arrow overhead over ~128k rows instead of 4096.
+    Executor memory stays bounded by ``pages_per_group × page size``.
+    """
     if schema is None:
         schema = output_schema_of_chunks(chunks_df)
-    leaves, structs = _flatten_schema(schema.fields)
     allowed: set[str] = set()
-    for path, _, lg in leaves:
-        allowed.update((path, f"{path}#def", f"{path}#len", f"{path}#edef"))
-        if lg.startswith("map<"):
-            allowed.update(
-                (f"{path}#key", f"{path}#val", f"{path}#valdef")
-            )
-    for spath, _ in structs:
-        allowed.add(f"{spath}#def")
+    for f in schema.fields:
+        allowed |= _subtree_chunk_names(f.name, f.dataType)
     chunks_df = chunks_df.where(F.col("col").isin(sorted(allowed)))
     out_pa_schema = pa.schema(
         [(f.name, _arrow_full_type(f.dataType, f.name)) for f in schema.fields]
@@ -879,32 +934,21 @@ def decode_table(chunks_df: DataFrame, schema: StructType | None = None) -> Data
     meta_cols = ("col", "codec", "dtype", "n_rows", "n_values", "null_count",
                  "n_unique", "bit_width", "crc32", "extra")
 
-    def _chunks_by_col(table: pa.Table) -> dict[str, dict]:
-        """One dict per chunk row, payloads as zero-copy memoryviews — the
-        binary column's buffers are referenced in place instead of being
-        copied into Python bytes per row (the one avoidable copy on the
-        decode hot path)."""
-        metas = {c: table.column(c).to_pylist() for c in meta_cols}
-        data_arr = table.column("data").combine_chunks()
-        aux_arr = table.column("aux").combine_chunks()
-        by_col: dict[str, dict] = {}
-        for i in range(table.num_rows):
-            d = {c: metas[c][i] for c in meta_cols}
-            d["data"] = memoryview(data_arr[i].as_buffer())
-            d["aux"] = (
-                memoryview(aux_arr[i].as_buffer()) if aux_arr[i].is_valid else None
-            )
-            by_col[d["col"]] = d
-        return by_col
-
-    def decode_group(table: pa.Table) -> pa.Table:
-        by_col = _chunks_by_col(table)
-
-        def build(path: str, dtype) -> pa.Array:
-            if isinstance(dtype, StructType):
+    def decode_one_group(by_col: dict[str, dict], n_rows: int) -> pa.Table:
+        def build(path: str, dt, n_slots: int) -> pa.Array:
+            if isinstance(dt, StructType):
+                defck = by_col.get(f"{path}#def")
+                if defck is not None:
+                    svalid = chunklib.decode_bool(defck)
+                    validity = pa.py_buffer(
+                        np.packbits(svalid, bitorder="little")
+                    )
+                    nc = int(n_slots - svalid.sum())
+                else:
+                    validity, nc = None, 0
                 children = [
-                    build(f"{path}.{f.name}", f.dataType)
-                    for f in dtype.fields
+                    build(f"{path}.{f.name}", f.dataType, n_slots)
+                    for f in dt.fields
                 ]
                 # from_buffers, not from_arrays: Spark's applyInArrow
                 # checks the result type *including field nullability*,
@@ -912,43 +956,25 @@ def decode_table(chunks_df: DataFrame, schema: StructType | None = None) -> Data
                 stype = pa.struct(
                     [
                         pa.field(f.name, children[i].type, f.nullable)
-                        for i, f in enumerate(dtype.fields)
+                        for i, f in enumerate(dt.fields)
                     ]
                 )
-                length = len(children[0])
-                defck = by_col.get(f"{path}#def")
-                if defck is not None:
-                    svalid = chunklib.decode_bool(defck)
-                    validity = pa.py_buffer(
-                        np.packbits(svalid, bitorder="little")
-                    )
-                    return pa.Array.from_buffers(
-                        stype, length, [validity],
-                        null_count=int(length - svalid.sum()),
-                        children=children,
-                    )
                 return pa.Array.from_buffers(
-                    stype, length, [None], null_count=0, children=children
+                    stype, n_slots, [validity], null_count=nc,
+                    children=children,
                 )
-
-            logical = _logical_of_dtype(dtype, path)
-            ck = by_col[path]
-            n_rows = int(ck["n_rows"])
             defck = by_col.get(f"{path}#def")
-            # validity vector (True = present) from the definition chunk;
-            # absent when the chunk was encoded without nulls
             valid = chunklib.decode_bool(defck) if defck is not None else None
-
-            if logical.startswith("list<") or logical.startswith("map<"):
-                is_map = logical.startswith("map<")
-                len_ck = ck if is_map else by_col[f"{path}#len"]
-                lengths = chunklib.decode_numeric({**len_ck, "dtype": "int32"})
+            if isinstance(dt, (ArrayType, MapType)):
+                lengths = chunklib.decode_numeric(
+                    {**by_col[path], "dtype": "int32"}
+                )
                 if valid is not None:
-                    full_len = np.zeros(n_rows, dtype=np.int64)
+                    full_len = np.zeros(n_slots, dtype=np.int64)
                     full_len[valid] = lengths
                 else:
                     full_len = lengths.astype(np.int64)
-                offsets = np.zeros(full_len.size + 1, dtype=np.int32)
+                offsets = np.zeros(n_slots + 1, dtype=np.int32)
                 np.cumsum(full_len, out=offsets[1:])
                 n_elem = int(offsets[-1])
                 validity_buf = (
@@ -957,26 +983,15 @@ def decode_table(chunks_df: DataFrame, schema: StructType | None = None) -> Data
                     else None
                 )
                 n_null = int((~valid).sum()) if valid is not None else 0
-                if is_map:
-                    klog, vlog = _split_map_logical(logical)
-                    keys = _decode_scalar_array(
-                        by_col[f"{path}#key"], klog, n_elem, None
-                    )
-                    vdefck = by_col.get(f"{path}#valdef")
-                    vvalid = (
-                        chunklib.decode_bool(vdefck)
-                        if vdefck is not None
-                        else None
-                    )
-                    items = _decode_scalar_array(
-                        by_col[f"{path}#val"], vlog, n_elem, vvalid
-                    )
+                if isinstance(dt, MapType):
+                    keys = build(f"{path}#key", dt.keyType, n_elem)
+                    items = build(f"{path}#val", dt.valueType, n_elem)
                     entries = pa.Array.from_buffers(
                         pa.struct(
                             [
                                 pa.field("key", keys.type, False),
                                 pa.field("value", items.type,
-                                         dtype.valueContainsNull),
+                                         dt.valueContainsNull),
                             ]
                         ),
                         n_elem, [None], null_count=0,
@@ -984,37 +999,65 @@ def decode_table(chunks_df: DataFrame, schema: StructType | None = None) -> Data
                     )
                     mtype = pa.map_(
                         pa.field("key", keys.type, False),
-                        pa.field("value", items.type,
-                                 dtype.valueContainsNull),
+                        pa.field("value", items.type, dt.valueContainsNull),
                     )
                     return pa.Array.from_buffers(
-                        mtype, full_len.size,
+                        mtype, n_slots,
                         [validity_buf, pa.py_buffer(offsets)],
                         null_count=n_null, children=[entries],
                     )
-                child = logical[5:-1]
-                edefck = by_col.get(f"{path}#edef")
-                evalid = (
-                    chunklib.decode_bool(edefck)
-                    if edefck is not None
-                    else None
-                )
-                child_arr = _decode_scalar_array(ck, child, n_elem, evalid)
+                child_arr = build(f"{path}#item", dt.elementType, n_elem)
                 ltype = pa.list_(
-                    pa.field("item", child_arr.type, dtype.containsNull)
+                    pa.field("item", child_arr.type, dt.containsNull)
                 )
                 return pa.Array.from_buffers(
-                    ltype, full_len.size,
+                    ltype, n_slots,
                     [validity_buf, pa.py_buffer(offsets)],
                     null_count=n_null, children=[child_arr],
                 )
-            return _decode_scalar_array(ck, logical, n_rows, valid)
+            logical = _logical_of_dtype(dt, path)
+            return _decode_scalar_array(by_col[path], logical, n_slots, valid)
 
-        arrays = [build(f.name, f.dataType) for f in schema.fields]
+        arrays = [build(f.name, f.dataType, n_rows) for f in schema.fields]
         return pa.Table.from_arrays(arrays, schema=out_pa_schema)
 
-    return chunks_df.groupBy("part_id", "chunk_id").applyInArrow(
-        lambda t: decode_group(t), schema
+    def decode_pages(table: pa.Table) -> pa.Table:
+        """Split the multi-page group back into its (chunk_id) pages,
+        decode each, and return one concatenated table. Payloads are
+        referenced as zero-copy memoryviews of the Arrow binary buffers —
+        never copied into per-row Python bytes."""
+        cid = table.column("chunk_id").to_numpy()
+        order = np.argsort(cid, kind="stable")
+        sorted_cid = cid[order]
+        page_starts = np.concatenate(
+            [[0], np.flatnonzero(np.diff(sorted_cid)) + 1, [cid.size]]
+        )
+        metas = {c: table.column(c).to_pylist() for c in meta_cols}
+        data_arr = table.column("data").combine_chunks()
+        aux_arr = table.column("aux").combine_chunks()
+        pieces: list[pa.Table] = []
+        for s, e in zip(page_starts[:-1], page_starts[1:]):
+            by_col: dict[str, dict] = {}
+            for j in order[s:e]:
+                j = int(j)
+                d = {c: metas[c][j] for c in meta_cols}
+                d["data"] = memoryview(data_arr[j].as_buffer())
+                d["aux"] = (
+                    memoryview(aux_arr[j].as_buffer())
+                    if aux_arr[j].is_valid
+                    else None
+                )
+                by_col[d["col"]] = d
+            n_rows = int(next(iter(by_col.values()))["n_rows"])
+            pieces.append(decode_one_group(by_col, n_rows))
+        return pieces[0] if len(pieces) == 1 else pa.concat_tables(pieces)
+
+    grouped = chunks_df.withColumn(
+        "__pg",
+        F.floor(F.col("chunk_id") / F.lit(pages_per_group)).cast("long"),
+    )
+    return grouped.groupBy("part_id", "__pg").applyInArrow(
+        lambda t: decode_pages(t), schema
     )
 
 

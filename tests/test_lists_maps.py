@@ -1,10 +1,11 @@
 """Generalized list + map encoding.
 
-Lists now take any scalar element type (string/binary/bool/date/decimal/
-timestamp as well as numerics) and nullable elements (`{col}#edef`
-element-validity chunk). Maps shred to `{col}` (entry counts, logical
-map<k,v>), `{col}#key`, `{col}#val`, `{col}#valdef` — the same dotted
-side-chunk scheme as struct leaves."""
+Lists take any element type — scalars (string/binary/bool/date/decimal/
+timestamp as well as numerics) and, via the recursive shredder, structs,
+lists, and maps — with nullable elements (`{col}#item#def` validity
+chunk). Maps shred to `{col}` (entry counts, logical map<k,v>) plus
+`{col}#key` / `{col}#val` subtrees — the same recursive chunk grammar as
+struct leaves."""
 
 from __future__ import annotations
 
@@ -40,7 +41,7 @@ def test_list_null_elements_roundtrip_exactly(spark):
     want, got, chunks = _rt(spark, df, num_partitions=1)
     assert got == want
     cols = {r["col"] for r in chunks.select("col").distinct().collect()}
-    assert "xs#edef" in cols  # element-validity chunk exists
+    assert "xs#item#def" in cols  # element-validity chunk exists
 
 
 def test_list_of_strings_and_binary(spark):
@@ -84,7 +85,7 @@ def test_map_roundtrip_with_null_values_and_rows(spark):
     want, got, chunks = _rt(spark, df)
     assert got == want
     cols = {r["col"] for r in chunks.select("col").distinct().collect()}
-    assert {"m", "m#key", "m#val", "m#valdef", "m#def"} <= cols
+    assert {"m", "m#key", "m#val", "m#val#def", "m#def"} <= cols
 
 
 def test_map_decimal_keys_parse(spark):
@@ -119,10 +120,11 @@ def test_map_inside_struct(spark):
     assert got == want
 
 
-def test_nested_list_of_list_rejected(spark):
-    df = spark.createDataFrame([(1, [[1, 2]])], "id long, xs array<array<int>>")
-    with pytest.raises(TypeError, match="nested element"):
-        encode_table(df, num_partitions=1).collect()
+def test_unsupported_type_rejected_eagerly(spark):
+    """Schema validation happens on the driver before any job runs."""
+    df = spark.createDataFrame([], "id long, v void")
+    with pytest.raises(TypeError, match="unsupported column type"):
+        encode_table(df, num_partitions=1)
 
 
 def test_all_map_table_partitions_without_hash(spark):
@@ -141,7 +143,7 @@ def test_string_list_values_use_byte_codecs(spark):
         "id long, ws array<string>",
     )
     chunks = encode_table(df, num_partitions=1)
-    meta = footer(chunks).where(F.col("col") == "ws").collect()
+    meta = footer(chunks).where(F.col("col") == "ws#item").collect()
     assert all(
         r["codec"] in ("ba_plain", "ba_delta_len", "ba_delta", "dict_rle", "fsst")
         for r in meta

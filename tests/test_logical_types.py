@@ -131,7 +131,14 @@ def test_decimal_pruned_range_scan(spark):
     assert len(vals) == 301
 
 
-def test_decimal_precision_over_18_rejected(spark):
-    df = spark.createDataFrame([(1, Decimal("1.5"))], "id long, x decimal(24,2)")
-    with pytest.raises(TypeError, match="precision"):
-        encode_table(df, num_partitions=1).collect()
+def test_decimal_precision_over_18_uses_flba(spark):
+    """p>18 switches from the int64 physical to the 16-byte FLBA path
+    (reference FLBA-backed wide decimals, parquet/parquet.go:2597-2612)."""
+    df = spark.createDataFrame(
+        [(1, Decimal("1.5")), (2, Decimal("12345678901234567890.25")), (3, None)],
+        "id long, x decimal(24,2)",
+    )
+    chunks = encode_table(df, num_partitions=1)
+    assert chunks.where("col = 'x'").first()["dtype"] == "bytes"
+    got = {r["id"]: r["x"] for r in decode_table(chunks, df.schema).collect()}
+    assert got == {r["id"]: r["x"] for r in df.collect()}

@@ -142,10 +142,12 @@ def test_decode_groups_without_sort(spark):
                           num_partitions=4)
     plan = plan_of(decode_table(chunks, df.schema), "simple")
     # applyInArrow group decode adds exactly one shuffle, keyed on the
-    # full (part_id, chunk_id) group key
+    # (part_id, page-group) key — pages_per_group batches ~32 pages of a
+    # partition into one Python call, so the shuffle key is coarser than
+    # chunk_id but still partition-local
     group_exchanges = [
         l for l in plan.splitlines()
-        if "Exchange hashpartitioning(part_id" in l and "chunk_id" in l
+        if "Exchange hashpartitioning(part_id" in l and "__pg" in l
     ]
     assert len(group_exchanges) == 1
 
