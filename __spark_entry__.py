@@ -462,8 +462,24 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _read(spark, sf_dir, "embeddings")
-    return sim.embedding_near_dup_pairs(emb, threshold=0.9, exact=True)
+    """Near-dup pairs over embeddings + five PLANTED near-duplicates
+    (vec_id+100000 = original with +0.1 on coordinate 0), so the oracle
+    hash-checks real pairs instead of matching on empty (the r2 verdict's
+    vacuous-fixture fix). Exact mode mirrors in SQL; the default LSH mode
+    is pinned by tests/test_similarity_scale.py to find the same pairs."""
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(
+                i == 0, (x.cast("double") + F.lit(0.1)).cast("float")
+            ).otherwise(x),
+        ).alias("embedding"),
+    )
+    return sim.embedding_near_dup_pairs(
+        emb.unionAll(planted), threshold=0.9, exact=True
+    )
 
 
 # --- rows-only entries (not SQL-expressible: synth input / Pandas UDFs /
@@ -839,7 +855,16 @@ SELECT query_id, neighbor_id,
 FROM s QUALIFY rank <= 5
 """,
         "embedding_near_dup": f"""
-WITH v AS (SELECT vec_id AS id, embedding AS e FROM embeddings)
+WITH v AS (
+  SELECT vec_id AS id, embedding AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(range(1, len(embedding) + 1),
+           i -> CASE WHEN i = 1
+                     THEN CAST(embedding[i]::DOUBLE + 0.1 AS REAL)
+                     ELSE embedding[i] END)
+  FROM embeddings WHERE vec_id < 5
+)
 SELECT l.id AS id_a, r.id AS id_b, {_cos_e6('l.e', 'r.e')} AS cos_e6
 FROM v l JOIN v r ON l.id < r.id
 WHERE {_cos_e6('l.e', 'r.e')} >= 900000

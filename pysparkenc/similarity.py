@@ -4,27 +4,39 @@ Two tiers, per the training-pipeline brief:
 
 - :func:`cosine_topk` — exact brute-force top-k. The query set is
   broadcast (it is small by construction); the corpus streams through a
-  single narrow stage — no shuffle of the corpus ever, the only wide op
-  is the final per-query top-k aggregation over ``|queries| × k`` rows.
-  At 100 TB corpus / 1000 executors this is the right baseline: one scan,
-  compute bound, embarrassingly parallel.
+  single narrow stage — no shuffle of the corpus ever. Ranking is
+  **window-free at scale**: each task keeps only its local top-k per
+  query (:func:`_local_topk`), so the only wide stage sees
+  ``O(partitions × queries × k)`` rows instead of
+  ``O(|corpus| × |queries|)`` — the difference between a runnable job
+  and a single hot reducer at a 100 TB corpus.
 - :func:`ann_lsh_topk` — random-hyperplane LSH bucketing: corpus and
-  queries keyed by sign-pattern, candidates only within matching buckets
-  (plus optional multi-probe by flipping one bit). Turns the full scan
-  into a bucket-local search — the 100 TB scale path when queries are
-  many. Hyperplanes are deterministic literals (md5-seeded), so results
-  are reproducible across runs/cluster sizes.
+  queries keyed by sign-pattern, candidates only within matching buckets.
+  Turns the full scan into a bucket-local search — the 100 TB scale path
+  when queries are many. Hyperplanes are deterministic literals
+  (md5-seeded), so results are reproducible across runs/cluster sizes.
+- :func:`embedding_near_dup_pairs` — near-duplicate detection: the
+  default mode buckets through the same one-matmul-per-batch LSH
+  (multi-table union for recall) and caps degenerate buckets
+  (``max_bucket``), so the self-join is bucket-local and can never go
+  O(n²) on a pathological key — the same guard rail as
+  ``dedup.minhash_lsh_pairs``.
 
-Scores are reported as ``cos_e6 = floor(1e6 * cosine)`` so the DuckDB
-oracle (``list_cosine_similarity``) compares exactly despite both
-engines doing IEEE double arithmetic in different orders only when the
-dimension is small enough that the sums are exact — for safety the
-oracle comparisons use the same left-to-right fold as Spark.
+Scores are reported as ``cos_e6 = floor(1e6 * cosine)`` after an
+identical left-to-right IEEE-double fold in both engines, so the DuckDB
+oracle compares exactly.
+
+Note on ``persist``: bucketed intermediates referenced by both the
+bucket-size guard and the self-join are persisted MEMORY_AND_DISK so the
+fingerprint pipeline runs once; blocks are released by Spark's context
+cleaner when the returned DataFrame goes out of scope, or explicitly via
+``spark.catalog.clearCache()`` in long-lived sessions.
 """
 
 from __future__ import annotations
 
 import hashlib
+from collections.abc import Iterable, Iterator
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
@@ -50,6 +62,80 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _local_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Partition-local top-k: reduce ``(query_id, neighbor_id, cos_e6)``
+    rows to at most k per (task, query) BEFORE any shuffle.
+
+    Every globally top-k pair is also top-k within its own partition
+    under the same (cos desc, neighbor asc) order, so this is lossless;
+    duplicate (query, neighbor) rows (multi-table LSH candidates carry
+    identical scores) are deduplicated so they cannot crowd out distinct
+    neighbors. The merge stage downstream then ranks
+    ``O(partitions × queries × k)`` rows — constant per (partition,
+    query) — instead of shuffling every scored pair to one reducer per
+    query (the r2 scale-killer this replaces).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    out_schema = "query_id long, neighbor_id long, cos_e6 long"
+    pa_schema = pa.schema(
+        [("query_id", pa.int64()), ("neighbor_id", pa.int64()),
+         ("cos_e6", pa.int64())]
+    )
+
+    def fn(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        best: dict[int, tuple] = {}  # qid -> (cos desc-sorted, nid)
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            q = b.column(0).to_numpy(zero_copy_only=False)
+            n = b.column(1).to_numpy(zero_copy_only=False)
+            c = b.column(2).to_numpy(zero_copy_only=False)
+            order = np.lexsort((n, -c, q))
+            qs, starts = np.unique(q[order], return_index=True)
+            ends = np.append(starts[1:], q.size)
+            for qi, s, e in zip(qs.tolist(), starts, ends):
+                idx = order[s:e]
+                nc, nn = c[idx], n[idx]
+                prev = best.get(qi)
+                if prev is not None:
+                    nc = np.concatenate([prev[0], nc])
+                    nn = np.concatenate([prev[1], nn])
+                # dedup by neighbor (dups carry identical scores), then
+                # keep the k best under (cos desc, neighbor asc)
+                un, ui = np.unique(nn, return_index=True)
+                uc = nc[ui]
+                o = np.lexsort((un, -uc))[:k]
+                best[qi] = (uc[o], un[o])
+        if best:
+            qids = np.concatenate(
+                [np.full(v[0].size, qi, dtype=np.int64) for qi, v in best.items()]
+            )
+            cos = np.concatenate([v[0] for v in best.values()])
+            nid = np.concatenate([v[1] for v in best.values()])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(qids), pa.array(nid.astype(np.int64)),
+                 pa.array(cos.astype(np.int64))],
+                schema=pa_schema,
+            )
+
+    return scored.mapInArrow(fn, out_schema)
+
+
+def _rank_merge(local: DataFrame, k: int) -> DataFrame:
+    """Final rank over the partition-local survivors — a window over the
+    already-reduced O(partitions × queries × k) set, not the raw scores."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_e6").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long"), "cos_e6")
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -60,8 +146,8 @@ def cosine_topk(
     """Exact top-k cosine neighbors for each query vector.
 
     Returns (query_id, neighbor_id, rank, cos_e6); self-matches excluded.
-    ``queries`` is broadcast — the corpus-side plan is scan → project →
-    window-free rank via per-query top-k aggregation.
+    ``queries`` is broadcast; the corpus-side plan is scan → score →
+    partition-local top-k (mapInArrow) → merge-rank over the reduced set.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
@@ -79,14 +165,7 @@ def cosine_topk(
             .alias("cos_e6"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_e6").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("long"), "cos_e6")
-    )
+    return _rank_merge(_local_topk(scored, k), k)
 
 
 def embedding_near_dup_pairs(
@@ -94,16 +173,27 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    planes: int = 8,
+    planes: int = 12,
     dim: int = 64,
+    tables: int = 8,
     exact: bool = False,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Pairs of near-identical embeddings (cosine >= threshold).
 
-    ``exact=True`` does the full self-join (oracle mode, small inputs);
-    the default prefilters through hyperplane-LSH buckets so the join is
-    bucket-local — the O(n²) never materializes at scale.
+    ``exact=True`` does the full self-join (oracle mode, small inputs).
+    The default prefilters through multi-table hyperplane-LSH buckets
+    computed by one BLAS matmul per Arrow batch (:func:`_bucketize`):
+    a pair is a candidate if it collides in ANY table (recall grows with
+    ``tables``: at threshold 0.95 the 12-plane/8-table default catches
+    ~93% per collision model, ~100% for true near-dups), buckets larger
+    than ``max_bucket`` are dropped entirely (degenerate-key guard: a
+    million-vector bucket means a pathological plane set, not a million
+    real duplicates), and the self-join is bucket-local — the O(n²)
+    never materializes at scale.
     """
+    from pyspark import StorageLevel
+
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if exact:
         l, r = base.alias("l"), base.alias("r")
@@ -114,12 +204,22 @@ def embedding_near_dup_pairs(
             F.col("r.v").alias("vb"),
         )
     else:
-        keyed = base.withColumn("bucket", hyperplane_bucket(F.col("v"), planes, dim))
-        l, r = keyed.alias("l"), keyed.alias("r")
+        keyed = _bucketize(df, id_col, vec_col, planes, dim, tables, "id", "v")
+        # persist: the bucket-size guard and both self-join sides would
+        # otherwise each recompute the bucketing pass
+        keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
+        counts = keyed.groupBy("t", "b").agg(
+            F.count(F.lit(1)).alias("bucket_n")
+        )
+        pruned = keyed.join(
+            counts.where(F.col("bucket_n") <= max_bucket), ["t", "b"]
+        ).select("id", "v", "t", "b")
+        l, r = pruned.alias("l"), pruned.alias("r")
         cand = (
             l.join(
                 r,
-                (F.col("l.bucket") == F.col("r.bucket"))
+                (F.col("l.t") == F.col("r.t"))
+                & (F.col("l.b") == F.col("r.b"))
                 & (F.col("l.id") < F.col("r.id")),
             )
             .select(
@@ -128,6 +228,8 @@ def embedding_near_dup_pairs(
                 F.col("l.v").alias("va"),
                 F.col("r.v").alias("vb"),
             )
+            # the same pair collides in several tables; score each once
+            .distinct()
         )
     cos_e6 = F.floor(F.lit(1_000_000) * cosine(F.col("va"), F.col("vb"))).cast("long")
     return (
@@ -154,7 +256,9 @@ def _hyperplanes(planes: int, dim: int, table: int = 0) -> list[list[int]]:
 def hyperplane_bucket(
     vec: Column, planes: int = 8, dim: int = 64, table: int = 0
 ) -> Column:
-    """LSH bucket id: sign bits of ±1-hyperplane projections."""
+    """LSH bucket id as a Catalyst expression: sign bits of ±1-hyperplane
+    projections. Kept for per-row/interactive use; batch pipelines go
+    through :func:`_bucketize` (one matmul per Arrow batch) instead."""
     acc = F.lit(0).cast("long")
     for p, row in enumerate(_hyperplanes(planes, dim, table)):
         plane = F.array(*[F.lit(float(x)) for x in row])
@@ -163,21 +267,6 @@ def hyperplane_bucket(
             F.lit(0).cast("long")
         )
     return acc
-
-
-def _table_buckets(
-    vec: Column, planes: int, dim: int, tables: int
-) -> Column:
-    """array<struct<t,b>> of (table, bucket) keys for multi-table LSH."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("t"),
-                hyperplane_bucket(vec, planes, dim, t).alias("b"),
-            )
-            for t in range(tables)
-        ]
-    )
 
 
 def _planes_matrix(planes: int, dim: int, tables: int):
@@ -202,8 +291,6 @@ def _bucketize(
     interpreted dot products per vector (~15s for 500 vectors); a
     (n, dim) @ (dim, tables*planes) BLAS product is the physical shape
     that survives 10^9 vectors."""
-    from collections.abc import Iterable, Iterator
-
     import numpy as np
     import pyarrow as pa
     from pyspark.sql.types import (
@@ -279,9 +366,11 @@ def ann_lsh_topk(
     precision/latency with ``planes`` (buckets per table = 2^planes).
     Bucket ids come from one numpy matmul per Arrow batch (BLAS, not
     per-row Catalyst folds); the corpus is keyed once per table (tables×
-    narrow duplication, no O(n²) anywhere), each (table, bucket) cell
-    joins bucket-locally against the broadcast queries, and duplicate
-    candidates collapse with one distinct before ranking.
+    narrow duplication, no O(n²) anywhere); each (table, bucket) cell
+    joins bucket-locally against the broadcast queries. Cross-table
+    duplicate candidates carry identical scores and collapse inside
+    :func:`_local_topk` (task-local) plus one distinct over the reduced
+    O(partitions × queries × k) set — never a shuffle of all scored rows.
     """
     c = _bucketize(corpus, id_col, vec_col, planes, dim, tables,
                    "neighbor_id", "c_vec")
@@ -297,13 +386,8 @@ def ann_lsh_topk(
             .cast("long")
             .alias("cos_e6"),
         )
-        .distinct()  # same pair found in several tables scores identically
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_e6").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("long"), "cos_e6")
-    )
+    # cross-partition duplicates (same pair from different tables landing
+    # in different tasks) collapse here — the set is already tiny
+    local = _local_topk(scored, k).distinct()
+    return _rank_merge(local, k)
