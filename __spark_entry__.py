@@ -412,6 +412,28 @@ def q_pruned_string_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pruned_dict_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-page predicate pushdown: an equality probe on the
+    dict-encoded lang column is tested against each chunk's dict page
+    (tiny aux payload) — chunk groups whose dictionary lacks 'de' are
+    skipped before any value decode, which stats-only pruning cannot do
+    (the reference's dict pages are decode-internal,
+    layout/page-dict.go). Partitioning by lang makes most groups
+    single-lang, so the probe drops nearly everything."""
+    from pysparkenc.engine import decode_table_where_equals
+
+    df = _read(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    chunks = encode_table(df, partition_by=("lang", "doc_id"))
+    out = decode_table_where_equals(chunks, df.schema, "lang", "de")
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup(_read(spark, sf_dir, "documents"))
 
@@ -615,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "footer_stats_lineitem": q_footer_stats_lineitem,
         "pruned_range_scan": q_pruned_range_scan,
         "pruned_string_scan": q_pruned_string_scan,
+        "pruned_dict_scan": q_pruned_dict_scan,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
@@ -757,6 +780,11 @@ FROM t
             "max(key) AS max_id, sum(n_chars)::BIGINT AS sum_chars "
             "FROM t WHERE key BETWEEN 'doc-000100' AND 'doc-000300' "
             "GROUP BY source"
+        ),
+        "pruned_dict_scan": (
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "sum(n_chars)::BIGINT AS sum_chars, min(doc_id) AS min_doc "
+            "FROM documents WHERE lang = 'de' GROUP BY source"
         ),
         "dedup_exact": (
             "SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, "

@@ -1125,6 +1125,107 @@ def prune_chunks(
                           "left_semi")
 
 
+def prune_chunks_equals(
+    chunks_df: DataFrame,
+    col: str,
+    value,
+) -> DataFrame:
+    """Dictionary-page predicate pushdown for an equality probe.
+
+    For ``dict_rle`` chunks of ``col``, decode only the (tiny) dictionary
+    page and drop chunk groups whose dictionary does not contain
+    ``value`` — strictly stronger than min/max pruning: a chunk spanning
+    ["apple", "zebra"] overlaps any probe in between, but its dict page
+    proves "mango" absent without touching the code stream. Non-dict
+    chunks fall back to the stat overlap test (num_min/num_max for
+    numerics, smin/smax for strings), keeping on missing stats.
+
+    The reference's stats-only row-group skip (file-reader.go:110-112)
+    cannot do this — its dict pages are decode-internal. Here the dict
+    page is a first-class ``aux`` payload, so the probe is a narrow
+    metadata-scale pass (one Arrow batch of footer rows + aux, payload
+    ``data`` never read) followed by a broadcast semi-join.
+    """
+    import pyarrow as pa
+
+    from . import compress as blockcomp
+    from .kernels.dictenc import dict_page_decode_bytes, dict_page_decode_numeric
+
+    meta = chunks_df.where(F.col("col") == col).select(
+        "part_id", "chunk_id", "codec", "dtype", "n_unique",
+        "num_min", "num_max", "extra", "aux",
+    )
+    sval = value if isinstance(value, bytes) else str(value).encode()
+    is_bytes_probe = isinstance(value, (str, bytes))
+
+    def probe(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            cols = {name: b.column(i) for i, name in enumerate(b.schema.names)}
+            keep_p, keep_c = [], []
+            for i in range(b.num_rows):
+                codec = cols["codec"][i].as_py()
+                extra = json.loads(cols["extra"][i].as_py() or "{}")
+                keep = True
+                if codec == "dict_rle":
+                    aux = cols["aux"][i].as_py() or b""
+                    if comp := extra.get("comp"):
+                        aux = blockcomp.decompress(comp, aux)
+                    nu = int(cols["n_unique"][i].as_py())
+                    dtype = cols["dtype"][i].as_py()
+                    if dtype in ("int32", "int64", "float32", "float64"):
+                        uniques = dict_page_decode_numeric(aux, dtype, nu)
+                        keep = (not is_bytes_probe) and bool(
+                            (uniques == value).any()
+                        )
+                    else:
+                        d_off, d_data = dict_page_decode_bytes(aux, nu)
+                        raw = bytes(d_data)
+                        keep = any(
+                            raw[d_off[j] : d_off[j + 1]] == sval
+                            for j in range(nu)
+                        )
+                elif is_bytes_probe:
+                    smin, smax = extra.get("smin"), extra.get("smax")
+                    v = sval.decode(errors="replace")
+                    if smin is not None and smin > v:
+                        keep = False
+                    if smax is not None and smax < v:
+                        keep = False
+                else:
+                    mn = cols["num_min"][i].as_py()
+                    mx = cols["num_max"][i].as_py()
+                    fv = float(value)
+                    if mn is not None and not np.isnan(mn) and mn > fv:
+                        keep = False
+                    if mx is not None and not np.isnan(mx) and mx < fv:
+                        keep = False
+                if keep:
+                    keep_p.append(cols["part_id"][i].as_py())
+                    keep_c.append(cols["chunk_id"][i].as_py())
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(keep_p, pa.int64()), pa.array(keep_c, pa.int64())],
+                names=["part_id", "chunk_id"],
+            )
+
+    keep = meta.mapInArrow(probe, "part_id long, chunk_id long")
+    return chunks_df.join(F.broadcast(keep), ["part_id", "chunk_id"],
+                          "left_semi")
+
+
+def decode_table_where_equals(
+    chunks_df: DataFrame,
+    schema: StructType | None,
+    col: str,
+    value,
+) -> DataFrame:
+    """Equality-filtered decode: dict-page + stat pruning drops whole
+    chunk groups, the exact row predicate runs on the survivors."""
+    if schema is None:
+        schema = output_schema_of_chunks(chunks_df)
+    out = decode_table(prune_chunks_equals(chunks_df, col, value), schema)
+    return out.where(F.col(col) == F.lit(value))
+
+
 def decode_table_where(
     chunks_df: DataFrame,
     schema: StructType | None,

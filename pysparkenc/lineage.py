@@ -64,10 +64,18 @@ def _lineage_dir(path: str) -> str:
 
 
 def read_lineage(spark: SparkSession, path: str) -> DataFrame:
+    """Lineage rows under ``path``, read with the EXPLICIT schema (never
+    inferred): a directory written before a schema extension (e.g. the
+    ``batch_id`` column) still reads cleanly — missing columns surface as
+    nulls and ``batch_id`` defaults to -1 (batch mode) instead of an
+    AnalysisException on a mixed-schema directory."""
     try:
-        return spark.read.parquet(_lineage_dir(path))
+        lin = spark.read.schema(LINEAGE_SCHEMA).parquet(_lineage_dir(path))
     except Exception:
         return spark.createDataFrame([], LINEAGE_SCHEMA)
+    return lin.withColumn(
+        "batch_id", F.coalesce(F.col("batch_id"), F.lit(-1)).cast("long")
+    )
 
 
 def completed_part_ids(spark: SparkSession, path: str) -> DataFrame:
@@ -134,8 +142,11 @@ def encode_with_lineage(
     fully committed but whose *streaming checkpoint offset* was lost gets
     replayed with the same batch_id — and must become a no-op, or readers
     see every row twice. A committed batch is detected by its done lineage
-    rows; the pre-commit crash window is still covered by the
-    chunks-then-lineage protocol (orphan chunks stay invisible).
+    rows; that detection is sound because the lineage append itself is a
+    single-file atomic commit (see below) — any visible done row for a
+    batch implies ALL of its rows are visible. The pre-commit crash window
+    is covered by the chunks-then-lineage protocol (orphan chunks stay
+    invisible and the replay re-encodes everything).
     """
     spark = df.sparkSession
     t0 = time.time()
@@ -206,7 +217,15 @@ def encode_with_lineage(
         F.lit(-1 if batch_id is None else int(batch_id)).cast("long").alias("batch_id"),
         "*",
     )
-    lin.write.mode("append").parquet(_lineage_dir(path))
+    # coalesce(1): the lineage append is the COMMIT RECORD, so it must be
+    # all-or-nothing. One task -> one file -> one rename at job commit; a
+    # job killed mid-commit leaves either no lineage rows (batch replays
+    # in full, orphan chunks stay invisible) or all of them — never the
+    # partial visibility a multi-file append allows, which would let the
+    # batch_id replay check treat a half-committed batch as done and
+    # silently drop the missing partitions. The row count is one per
+    # partition (tiny), so the single writer is never a bottleneck.
+    lin.coalesce(1).write.mode("append").parquet(_lineage_dir(path))
 
     agg = lin.agg(
         F.count(F.lit(1)).alias("parts"),

@@ -81,6 +81,81 @@ def test_replayed_batch_id_is_idempotent(spark, tmp_path):
     df.unpersist()
 
 
+def test_replay_after_precommit_crash_recovers_exactly_once(spark, tmp_path):
+    """Crash in the window AFTER chunk rows landed but BEFORE the lineage
+    commit: the orphan chunks must stay invisible and the replayed batch
+    (same batch_id) must re-encode in full — readers see each row exactly
+    once, never zero or two copies."""
+    from pyspark.sql import functions as F
+
+    from pysparkenc.engine import encode_table
+    from pysparkenc.lineage import encode_with_lineage, read_lineage
+
+    enc = str(tmp_path / "enc")
+    df = make_tokens_table(spark, 150, seed=41)
+    df.cache().count()
+
+    # simulate the crashed first attempt: chunks written as run_id=1,
+    # process dies before the lineage append
+    chunks = encode_table(df, partition_by=("source", "doc_id"),
+                          num_partitions=4)
+    (chunks.withColumn("run_id", F.lit(1))
+     .write.mode("append").partitionBy("run_id").parquet(f"{enc}/chunks"))
+    assert read_lineage(spark, enc).count() == 0
+
+    # replayed batch: finds no done lineage rows for batch_id=3, encodes
+    # everything again under a fresh run_id
+    m = encode_with_lineage(df, enc, partition_by=("source", "doc_id"),
+                            num_partitions=4, resume=False, batch_id=3)
+    assert m.get("replayed_batch") is None and m["rows"] == 150
+
+    decoded = decode_table(read_committed_chunks(spark, enc), df.schema)
+    got = {r["doc_id"]: r["tokens"] for r in decoded.collect()}
+    want = {r["doc_id"]: r["tokens"] for r in df.collect()}
+    assert got == want  # exactly once: orphans invisible, replay complete
+
+    # a second replay of the now-committed batch no-ops
+    m2 = encode_with_lineage(df, enc, partition_by=("source", "doc_id"),
+                             num_partitions=4, resume=False, batch_id=3)
+    assert m2.get("replayed_batch") is True
+    assert decode_table(read_committed_chunks(spark, enc), df.schema).count() == 150
+    df.unpersist()
+
+
+def test_lineage_commit_is_single_file(spark, tmp_path):
+    """The lineage append is the commit record: one file per run, so its
+    visibility is all-or-nothing (no partially-visible lineage after a
+    mid-commit crash)."""
+    import glob
+
+    from pysparkenc.lineage import encode_with_lineage
+
+    enc = str(tmp_path / "enc")
+    df = make_tokens_table(spark, 100, seed=51)
+    encode_with_lineage(df, enc, partition_by=("source", "doc_id"),
+                        num_partitions=8)
+    files = glob.glob(f"{enc}/lineage/part-*")
+    assert len(files) == 1
+
+
+def test_read_lineage_tolerates_pre_batch_id_dirs(spark, tmp_path):
+    """A lineage dir written before the batch_id column existed reads with
+    the explicit schema; missing batch_id surfaces as -1 (batch mode)."""
+    from pysparkenc.lineage import read_lineage
+
+    enc = str(tmp_path / "enc")
+    old = spark.createDataFrame(
+        [(1, 0, 10, 100, 1000, 500, 4, 1.5, "done")],
+        "run_id long, part_id long, n_rows long, n_values long, "
+        "plain_bytes long, enc_bytes long, n_chunks long, wall_sec double, "
+        "status string",
+    )
+    old.write.parquet(f"{enc}/lineage")
+    lin = read_lineage(spark, enc).collect()
+    assert len(lin) == 1 and lin[0]["batch_id"] == -1
+    assert lin[0]["n_rows"] == 10 and lin[0]["status"] == "done"
+
+
 def test_stream_rejects_batch_frame(spark, tmp_path):
     import pytest
 
