@@ -354,6 +354,96 @@ def q_roundtrip_fixed_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_roundtrip_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-group nesting end-to-end (the reference's full Dremel
+    tree, schema/column.go:259-304 + datastore/column.go:127-177): an
+    ``array<struct<wlen,word>>`` with NULLs at every level (whole list,
+    struct element, struct field) and an ``array<array<int>>`` with NULL
+    inner lists ride the engine — each repetition level contributes an
+    offsets chunk, each nullable node a validity chunk. The decoded
+    nested values are re-projected to portable scalars for hashing."""
+    words = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    base = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 != 0,
+            F.transform(
+                words,
+                lambda w: F.when(
+                    F.length(w) % 7 != 2,
+                    F.struct(
+                        F.length(w).cast("int").alias("wlen"),
+                        F.when(F.length(w) % 4 != 0, w).alias("word"),
+                    ),
+                ),
+            ),
+        ).alias("spans"),
+        F.when(
+            F.col("doc_id") % 17 != 0,
+            F.transform(
+                words,
+                lambda w: F.when(
+                    F.length(w) % 5 != 3,
+                    F.sequence(
+                        F.lit(1).cast("int"),
+                        (F.length(w) % 4 + 1).cast("int"),
+                    ),
+                ),
+            ),
+        ).alias("mat"),
+    )
+    out = decode_table(encode_table(base, partition_by=None), base.schema)
+    live = F.filter("spans", lambda s: s.isNotNull())
+    inner = F.filter("mat", lambda a: a.isNotNull())
+    return out.select(
+        "doc_id",
+        F.size("spans").cast("long").alias("n_spans"),
+        F.size(F.filter("spans", lambda s: s.isNull()))
+        .cast("long").alias("n_null_spans"),
+        F.aggregate(
+            live, F.lit(0).cast("long"), lambda acc, s: acc + s["wlen"]
+        ).alias("sum_wlen"),
+        F.array_join(
+            F.transform(
+                F.filter(live, lambda s: s["word"].isNotNull()),
+                lambda s: s["word"],
+            ),
+            "|",
+        ).alias("words_j"),
+        F.size(F.filter("mat", lambda a: a.isNull()))
+        .cast("long").alias("n_null_inner"),
+        F.aggregate(
+            F.flatten(inner), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("mat_sum"),
+    )
+
+
+def q_roundtrip_decimal_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL(p > 18) end-to-end: values whose unscaled magnitude
+    exceeds int64 ride the engine as 16-byte FIXED_LEN_BYTE_ARRAY
+    payloads (the reference's FLBA-backed decimals,
+    parquet/parquet.go:2597-2612 + datastore/column-parameters.go:6-13).
+    Derivation goes double -> DECIMAL(12,2) (exact in both engines) ->
+    widening casts; decoded decimals are projected as full-scale strings
+    so the hash checks every digit of the decimal128 payload."""
+    d12 = F.col("l_extendedprice").cast("decimal(12,2)")
+    df = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        d12.cast("decimal(38,18)").alias("wide"),       # unscaled ~1e23
+        (d12 - 50000).cast("decimal(38,4)").alias("centered"),  # negatives
+        F.col("l_orderkey").cast("decimal(20,0)").alias("okey_d"),
+    )
+    out = decode_table(encode_table(df, partition_by=None), df.schema)
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("wide").cast("string").alias("wide_s"),
+        F.col("centered").cast("string").alias("centered_s"),
+        F.col("okey_d").cast("long").alias("okey"),
+    )
+
+
 def q_footer_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _read(spark, sf_dir, "lineitem").select(*_LINEITEM_NUM_COLS)
     meta = footer(encode_table(df))
@@ -634,6 +724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_structs": q_roundtrip_structs,
         "roundtrip_fixed_binary": q_roundtrip_fixed_binary,
         "roundtrip_arrays_maps": q_roundtrip_arrays_maps,
+        "roundtrip_nested": q_roundtrip_nested,
+        "roundtrip_decimal_wide": q_roundtrip_decimal_wide,
         "footer_stats_lineitem": q_footer_stats_lineitem,
         "pruned_range_scan": q_pruned_range_scan,
         "pruned_string_scan": q_pruned_string_scan,
@@ -766,6 +858,39 @@ SELECT doc_id,
   (CASE WHEN n_chars % 2 = 0 THEN n_chars / 2 END)::BIGINT AS meta_h
 FROM t
 """,
+        "roundtrip_nested": f"""
+WITH w AS (SELECT doc_id, {_WS} AS w0 FROM documents),
+t AS (SELECT doc_id,
+        list_filter(w0, x -> length(x) % 7 <> 2) AS live,
+        list_filter(w0, x -> length(x) % 5 <> 3) AS kept
+      FROM w)
+SELECT doc_id,
+  (CASE WHEN doc_id % 13 <> 0 THEN len(w0) END)::BIGINT AS n_spans,
+  (CASE WHEN doc_id % 13 <> 0
+        THEN len(list_filter(w0, x -> length(x) % 7 = 2)) END)::BIGINT
+    AS n_null_spans,
+  (CASE WHEN doc_id % 13 <> 0
+        THEN coalesce(list_sum(list_transform(live, x -> length(x))), 0)
+   END)::BIGINT AS sum_wlen,
+  CASE WHEN doc_id % 13 <> 0
+       THEN array_to_string(list_filter(live, x -> length(x) % 4 <> 0), '|')
+  END AS words_j,
+  (CASE WHEN doc_id % 17 <> 0
+        THEN len(list_filter(w0, x -> length(x) % 5 = 3)) END)::BIGINT
+    AS n_null_inner,
+  (CASE WHEN doc_id % 17 <> 0 THEN coalesce(list_sum(list_transform(
+          kept, x -> (length(x) % 4 + 1) * (length(x) % 4 + 2) // 2)), 0)
+   END)::BIGINT AS mat_sum
+FROM t JOIN w USING (doc_id)
+""",
+        "roundtrip_decimal_wide": (
+            "SELECT l_orderkey, l_linenumber, "
+            "CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) "
+            "AS DECIMAL(38,18)) AS VARCHAR) AS wide_s, "
+            "CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) - 50000 "
+            "AS DECIMAL(38,4)) AS VARCHAR) AS centered_s, "
+            "l_orderkey::BIGINT AS okey FROM lineitem"
+        ),
         "footer_stats_lineitem": footer_union,
         "pruned_range_scan": (
             "SELECT l_returnflag, count(*)::BIGINT AS n_rows, "
