@@ -525,7 +525,11 @@ def q_pruned_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pysparkenc.engine import decode_table_where
 
     df = _read(spark, sf_dir, "lineitem")
-    chunks = encode_table(df, partition_by=("l_returnflag", "l_orderkey"))
+    # persist: the prune probe and the decode are two branches over the
+    # same chunks relation; persisting stands in for chunks already on
+    # storage (where the probe is a column-pruned metadata scan) instead
+    # of re-running the inline encode per branch.
+    chunks = encode_table(df, partition_by=("l_returnflag", "l_orderkey")).persist()
     out = decode_table_where(chunks, df.schema, "l_orderkey", 1000, 5000)
     return (
         out.groupBy("l_returnflag")
@@ -552,7 +556,11 @@ def q_pruned_string_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_chars",
     )
-    chunks = encode_table(df, partition_by=("source", "key"))
+    # persist: the prune probe and the decode are two branches over the
+    # same chunks relation; persisting stands in for chunks already on
+    # storage (where the probe is a column-pruned metadata scan) instead
+    # of re-running the inline encode per branch.
+    chunks = encode_table(df, partition_by=("source", "key")).persist()
     out = decode_table_where(chunks, df.schema, "key",
                              "doc-000100", "doc-000300")
     return out.groupBy("source").agg(
@@ -576,7 +584,11 @@ def q_pruned_dict_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _read(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars"
     )
-    chunks = encode_table(df, partition_by=("lang", "doc_id"))
+    # persist: the prune probe and the decode are two branches over the
+    # same chunks relation; persisting stands in for chunks already on
+    # storage (where the probe is a column-pruned metadata scan) instead
+    # of re-running the inline encode per branch.
+    chunks = encode_table(df, partition_by=("lang", "doc_id")).persist()
     out = decode_table_where_equals(chunks, df.schema, "lang", "de")
     return out.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -171,12 +171,24 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     used = min(cpus, 16)
     spark = make_spark(used)
     timings: dict[str, float] = {}
-    for name, fn in entrymod.queries().items():
+    # Warm the session before timing: spin up the Python worker pool, JIT
+    # the codegen paths, and load the Arrow serde once — otherwise the
+    # first query in iteration order absorbs ~10s of fixed startup cost
+    # and per-query numbers become sequence-dependent.
+    qs = entrymod.queries()
+    force(qs["roundtrip_supplier"](spark, sf_dir))
+    force(qs["token_count"](spark, sf_dir))
+    spark.catalog.clearCache()
+    for name, fn in qs.items():
         if name in SKIP_AT_BENCH_SF:
             continue
         t0 = time.monotonic()
         force(fn(spark, sf_dir))
         timings[name] = round(time.monotonic() - t0, 3)
+        # drop persisted intermediates (LSH band tables, pruned-scan
+        # chunks) so queries are timed independently and long sessions
+        # don't accumulate MEMORY_AND_DISK blocks.
+        spark.catalog.clearCache()
 
     enc = encode_throughput(spark, 100_000, warmup=False)
     timings["flagship_encode_100k_docs"] = enc["wall_sec"]

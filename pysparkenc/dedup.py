@@ -17,6 +17,11 @@ Scale notes (the design brief, not an afterthought):
   skewed "empty shingle" buckets; we also drop buckets larger than
   ``max_bucket`` (a pathological-key guard: a 10^6-doc bucket means a
   degenerate band, not 10^12 real duplicates).
+- Persisted intermediates (exploded band tables) are MEMORY_AND_DISK so
+  the fingerprint pipeline runs once per call; blocks are released by
+  the context cleaner when results go out of scope, or explicitly via
+  ``spark.catalog.clearCache()`` in long-lived sessions (bench.py does
+  this after each query).
 - Verification (exact Jaccard) touches only candidate pairs, the output
   of the LSH prefilter — the O(n^2) stage never materializes.
 
