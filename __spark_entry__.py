@@ -505,6 +505,20 @@ def q_roundtrip_decimal_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_roundtrip_int96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT96 legacy timestamps (types/int96.go:13-75): the events ts
+    column is forced through the 12-byte nanos-of-day + Julian-day
+    layout — interop-only, never auto-selected — and must decode back to
+    the exact microsecond under the value-hash gate."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = _read(spark, sf_dir, "events").select("event_id", "ts")
+    out = decode_table(encode_table(df, codec={"ts": "int96"}), df.schema)
+    return out.select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+
+
 def q_footer_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _read(spark, sf_dir, "lineitem").select(*_LINEITEM_NUM_COLS)
     meta = footer(encode_table(df))
@@ -809,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_arrays_maps": q_roundtrip_arrays_maps,
         "roundtrip_nested": q_roundtrip_nested,
         "roundtrip_decimal_wide": q_roundtrip_decimal_wide,
+        "roundtrip_int96": q_roundtrip_int96,
         "footer_stats_lineitem": q_footer_stats_lineitem,
         "pruned_range_scan": q_pruned_range_scan,
         "pruned_string_scan": q_pruned_string_scan,
@@ -973,6 +988,9 @@ FROM t JOIN w USING (doc_id)
             "CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) - 50000 "
             "AS DECIMAL(38,4)) AS VARCHAR) AS centered_s, "
             "l_orderkey::BIGINT AS okey FROM lineitem"
+        ),
+        "roundtrip_int96": (
+            "SELECT event_id, epoch_us(ts) AS ts_us FROM events"
         ),
         "asset_features": _asset_features_sql(),
         "footer_stats_lineitem": footer_union,

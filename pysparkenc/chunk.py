@@ -38,6 +38,7 @@ from .kernels.dictenc import (
     factorize_numeric,
 )
 from .kernels.fsst import fsst_decode, fsst_encode
+from .kernels.int96 import int96_decode, int96_encode
 from .kernels.plain import (
     plain_decode_bool,
     plain_decode_bytes,
@@ -174,6 +175,12 @@ def encode_numeric(
         bit_width = int(shifted.max()).bit_length() if n else 0
         data = hybrid_encode_with_size(shifted, bit_width)
         extra["for_offset"] = vmin
+    elif codec == "int96":
+        # legacy 12-byte timestamp layout; force-only (never auto-picked:
+        # 12 bytes/value always loses to the int64 codecs)
+        if dtype != "int64":
+            raise ValueError("int96 codec requires int64 (epoch-micros)")
+        data = int96_encode(values)
     else:
         raise ValueError(f"unknown numeric codec {codec}")
 
@@ -287,6 +294,8 @@ def decode_numeric(chunk: dict) -> np.ndarray:
         shifted, _ = hybrid_decode_with_size(data, bw, n)
         out = shifted.astype(np.int64) + offset
         return out.astype(np.int32 if dtype == "int32" else np.int64)
+    if codec == "int96":
+        return int96_decode(data, n)
     raise ValueError(f"unknown numeric codec {codec}")
 
 
