@@ -100,6 +100,21 @@ SELECT id::BIGINT AS asset_id, any_value(kind) AS kind,
   concat_ws(',', {f_cols}) AS f_ppm
 FROM hist GROUP BY id
 """
+def _frame_sample_sql(n: int = 200, seed: int = 42, every_n: int = 10) -> str:
+    """Mirror of q_frame_sample: n_frames = 1 + splitmix64(splitmix64(
+    id + seed*7919)) % 299 for video assets (id % 3 = 2), sampled every
+    ``every_n`` frames (multimodal._gen_asset_batch + frame_sample_plan)."""
+    return f"""
+WITH ids AS (SELECT unnest(range(0, {n}))::HUGEINT AS id),
+s1 AS (SELECT id, {_sm64_cols(f"id + {seed}*7919", "h1")} FROM ids),
+s2 AS (SELECT id, {_sm64_cols("h1", "h2")} FROM s1),
+v AS (SELECT id, 1 + (h2 % 299) AS nf FROM s2 WHERE id % 3 = 2)
+SELECT id::BIGINT AS asset_id,
+  unnest(range(0, nf::BIGINT, {every_n}))::BIGINT AS frame_idx
+FROM v
+"""
+
+
 _H60 = "CAST('0x' || substring(md5({x}), 1, 15) AS BIGINT)"
 _H31 = "(CAST('0x' || substring(md5({x}), 1, 15) AS BIGINT) % 2147483647)"
 
@@ -519,6 +534,16 @@ def q_roundtrip_int96(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: every-10th frame index per video asset
+    via sequence+explode — no payload bytes move; the oracle re-derives
+    each video's frame count through the chained splitmix64 SQL mirror."""
+    assets = mm.make_assets_table(spark, 200)
+    return mm.frame_sample_plan(assets, every_n=10).select(
+        "asset_id", F.col("frame_idx").cast("long").alias("frame_idx")
+    )
+
+
 def q_footer_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _read(spark, sf_dir, "lineitem").select(*_LINEITEM_NUM_COLS)
     meta = footer(encode_table(df))
@@ -824,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_nested": q_roundtrip_nested,
         "roundtrip_decimal_wide": q_roundtrip_decimal_wide,
         "roundtrip_int96": q_roundtrip_int96,
+        "frame_sample": q_frame_sample,
         "footer_stats_lineitem": q_footer_stats_lineitem,
         "pruned_range_scan": q_pruned_range_scan,
         "pruned_string_scan": q_pruned_string_scan,
@@ -993,6 +1019,7 @@ FROM t JOIN w USING (doc_id)
             "SELECT event_id, epoch_us(ts) AS ts_us FROM events"
         ),
         "asset_features": _asset_features_sql(),
+        "frame_sample": _frame_sample_sql(),
         "footer_stats_lineitem": footer_union,
         "pruned_range_scan": (
             "SELECT l_returnflag, count(*)::BIGINT AS n_rows, "
