@@ -262,7 +262,8 @@ def host_capacity_probe() -> list[dict]:
     return out
 
 
-def run_scaling(n_rows: int, n_small: int = 2, n_big: int = 8) -> dict:
+def run_scaling(n_rows: int, n_small: int = 2, n_big: int = 8,
+                rounds: int = 3) -> dict:
     import shutil
     import tempfile
 
@@ -283,7 +284,9 @@ def run_scaling(n_rows: int, n_small: int = 2, n_big: int = 8) -> dict:
         # alternate the legs and keep each leg's best: shared-host
         # interference then has to hit BOTH legs to bias the ratio,
         # instead of silently taxing whichever leg ran in a noisy window
-        for _round in range(3):
+        # best-of-N per leg, legs alternated: shared-host interference
+        # must hit every round of BOTH legs to bias the ratio
+        for _round in range(rounds):
             for cpus in (n_small, n_big):
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
@@ -399,6 +402,7 @@ Headline per-query timings land in BENCH_r{{N}}.json via `python bench.py`.
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-rounds", type=int, default=3)
     ap.add_argument("--rows", type=int, default=200_000)
     ap.add_argument("--worker-cpus", type=int, default=None)
     ap.add_argument("--input-path", default=None)
@@ -409,7 +413,7 @@ def main() -> None:
     if args.worker_cpus is not None:
         out = run_worker(args.worker_cpus, args.rows, args.input_path)
     elif args.scaling:
-        out = run_scaling(args.rows)
+        out = run_scaling(args.rows, rounds=args.scaling_rounds)
     else:
         out = run_bench(args.sf_dir, args.cpus)
     print(json.dumps(out))
