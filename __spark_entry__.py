@@ -544,6 +544,26 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_pruned_isin_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list dict-page pushdown: the membership probe is tested against
+    each chunk's dictionary page; groups whose dictionary holds none of
+    the probe values are skipped before any value decode."""
+    from pysparkenc.engine import decode_table_where_isin
+
+    df = _read(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    # persist: the prune probe and the decode are two branches over the
+    # same chunks relation (see q_pruned_dict_scan)
+    chunks = encode_table(df, partition_by=("lang", "doc_id")).persist()
+    out = decode_table_where_isin(chunks, df.schema, "lang", ["de", "fr"])
+    return out.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
 def q_footer_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _read(spark, sf_dir, "lineitem").select(*_LINEITEM_NUM_COLS)
     meta = footer(encode_table(df))
@@ -854,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pruned_range_scan": q_pruned_range_scan,
         "pruned_string_scan": q_pruned_string_scan,
         "pruned_dict_scan": q_pruned_dict_scan,
+        "pruned_isin_scan": q_pruned_isin_scan,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
@@ -1039,6 +1060,11 @@ FROM t JOIN w USING (doc_id)
             "SELECT source, count(*)::BIGINT AS n_docs, "
             "sum(n_chars)::BIGINT AS sum_chars, min(doc_id) AS min_doc "
             "FROM documents WHERE lang = 'de' GROUP BY source"
+        ),
+        "pruned_isin_scan": (
+            "SELECT lang, source, count(*)::BIGINT AS n_docs, "
+            "sum(n_chars)::BIGINT AS sum_chars "
+            "FROM documents WHERE lang IN ('de', 'fr') GROUP BY lang, source"
         ),
         "dedup_exact": (
             "SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, "

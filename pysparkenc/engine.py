@@ -1125,20 +1125,22 @@ def prune_chunks(
                           "left_semi")
 
 
-def prune_chunks_equals(
+def prune_chunks_isin(
     chunks_df: DataFrame,
     col: str,
-    value,
+    values,
 ) -> DataFrame:
-    """Dictionary-page predicate pushdown for an equality probe.
+    """Dictionary-page predicate pushdown for an IN-list (or equality)
+    probe.
 
     For ``dict_rle`` chunks of ``col``, decode only the (tiny) dictionary
-    page and drop chunk groups whose dictionary does not contain
-    ``value`` — strictly stronger than min/max pruning: a chunk spanning
+    page and drop chunk groups whose dictionary contains none of
+    ``values`` — strictly stronger than min/max pruning: a chunk spanning
     ["apple", "zebra"] overlaps any probe in between, but its dict page
     proves "mango" absent without touching the code stream. Non-dict
     chunks fall back to the stat overlap test (num_min/num_max for
-    numerics, smin/smax for strings), keeping on missing stats.
+    numerics, smin/smax for strings) — kept if ANY probe value overlaps,
+    and always kept on missing stats.
 
     The reference's stats-only row-group skip (file-reader.go:110-112)
     cannot do this — its dict pages are decode-internal. Here the dict
@@ -1151,14 +1153,24 @@ def prune_chunks_equals(
     from . import compress as blockcomp
     from .kernels.dictenc import dict_page_decode_bytes, dict_page_decode_numeric
 
+    values = list(values)
+    if not values:
+        raise ValueError("prune_chunks_isin needs at least one probe value")
+    is_bytes_probe = isinstance(values[0], (str, bytes))
+    if any(isinstance(v, (str, bytes)) != is_bytes_probe for v in values):
+        raise TypeError("probe values must be all string/bytes or all numeric")
     meta = chunks_df.where(F.col("col") == col).select(
         "part_id", "chunk_id", "codec", "dtype", "n_unique",
         "num_min", "num_max", "extra", "aux",
     )
-    sval = value if isinstance(value, bytes) else str(value).encode()
-    is_bytes_probe = isinstance(value, (str, bytes))
+    svals = {v if isinstance(v, bytes) else str(v).encode() for v in values}
+    strs = sorted(s.decode(errors="replace") for s in svals)
+    fvals = None if is_bytes_probe else np.array(sorted(values), dtype=np.float64)
 
     def probe(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        num_probe = (
+            None if is_bytes_probe else np.asarray(sorted(values))
+        )
         for b in batches:
             cols = {name: b.column(i) for i, name in enumerate(b.schema.names)}
             keep_p, keep_c = [], []
@@ -1175,30 +1187,35 @@ def prune_chunks_equals(
                     if dtype in ("int32", "int64", "float32", "float64"):
                         uniques = dict_page_decode_numeric(aux, dtype, nu)
                         keep = (not is_bytes_probe) and bool(
-                            (uniques == value).any()
+                            np.isin(num_probe, uniques).any()
                         )
                     else:
                         d_off, d_data = dict_page_decode_bytes(aux, nu)
                         raw = bytes(d_data)
                         keep = any(
-                            raw[d_off[j] : d_off[j + 1]] == sval
+                            raw[d_off[j] : d_off[j + 1]] in svals
                             for j in range(nu)
                         )
                 elif is_bytes_probe:
                     smin, smax = extra.get("smin"), extra.get("smax")
-                    v = sval.decode(errors="replace")
-                    if smin is not None and smin > v:
-                        keep = False
-                    if smax is not None and smax < v:
-                        keep = False
+                    keep = any(
+                        (smin is None or smin <= v)
+                        and (smax is None or smax >= v)
+                        for v in strs
+                    )
                 else:
                     mn = cols["num_min"][i].as_py()
                     mx = cols["num_max"][i].as_py()
-                    fv = float(value)
-                    if mn is not None and not np.isnan(mn) and mn > fv:
-                        keep = False
-                    if mx is not None and not np.isnan(mx) and mx < fv:
-                        keep = False
+                    if mn is not None and np.isnan(mn):
+                        mn = None
+                    if mx is not None and np.isnan(mx):
+                        mx = None
+                    keep = bool(
+                        np.any(
+                            ((fvals >= mn) if mn is not None else True)
+                            & ((fvals <= mx) if mx is not None else True)
+                        )
+                    )
                 if keep:
                     keep_p.append(cols["part_id"][i].as_py())
                     keep_c.append(cols["chunk_id"][i].as_py())
@@ -1210,6 +1227,11 @@ def prune_chunks_equals(
     keep = meta.mapInArrow(probe, "part_id long, chunk_id long")
     return chunks_df.join(F.broadcast(keep), ["part_id", "chunk_id"],
                           "left_semi")
+
+
+def prune_chunks_equals(chunks_df: DataFrame, col: str, value) -> DataFrame:
+    """Single-value form of :func:`prune_chunks_isin`."""
+    return prune_chunks_isin(chunks_df, col, [value])
 
 
 def decode_table_where_equals(
@@ -1224,6 +1246,20 @@ def decode_table_where_equals(
         schema = output_schema_of_chunks(chunks_df)
     out = decode_table(prune_chunks_equals(chunks_df, col, value), schema)
     return out.where(F.col(col) == F.lit(value))
+
+
+def decode_table_where_isin(
+    chunks_df: DataFrame,
+    schema: StructType | None,
+    col: str,
+    values,
+) -> DataFrame:
+    """IN-list-filtered decode: dict-page + stat pruning drops whole
+    chunk groups, the exact membership predicate runs on the survivors."""
+    if schema is None:
+        schema = output_schema_of_chunks(chunks_df)
+    out = decode_table(prune_chunks_isin(chunks_df, col, values), schema)
+    return out.where(F.col(col).isin(list(values)))
 
 
 def decode_table_where(

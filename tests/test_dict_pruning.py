@@ -93,3 +93,41 @@ def test_forced_plain_never_misprunes(spark):
     got = decode_table_where_equals(chunks, df.schema, "lang", "pt")
     assert got.count() == 250
     chunks.unpersist()
+
+
+def test_isin_probe_prunes_and_decodes_exact(spark):
+    from pysparkenc.engine import decode_table_where_isin, prune_chunks_isin
+
+    df = _langs_df(spark)
+    chunks = encode_table(df, partition_by=("lang", "id")).persist()
+    chunks.count()
+    kept = prune_chunks_isin(chunks, "lang", ["de", "fr"])
+    kept_parts = {r["part_id"] for r in kept.select("part_id").distinct().collect()}
+    all_parts = {r["part_id"] for r in chunks.select("part_id").distinct().collect()}
+    assert len(kept_parts) < len(all_parts)
+    got = decode_table_where_isin(chunks, df.schema, "lang", ["de", "fr"])
+    want = df.where(F.col("lang").isin("de", "fr"))
+    assert {r["id"] for r in got.collect()} == {r["id"] for r in want.collect()}
+    chunks.unpersist()
+
+
+def test_isin_numeric_and_validation(spark):
+    import pytest
+
+    from pysparkenc.engine import decode_table_where_isin, prune_chunks_isin
+
+    df = spark.createDataFrame(
+        [(i, i // 100) for i in range(1000)], "id long, bucket long"
+    )
+    chunks = encode_table(df, partition_by=("bucket", "id")).persist()
+    chunks.count()
+    got = decode_table_where_isin(chunks, df.schema, "bucket", [2, 7])
+    assert {r["id"] for r in got.collect()} == set(range(200, 300)) | set(
+        range(700, 800)
+    )
+    assert prune_chunks_isin(chunks, "bucket", [50, 99]).count() == 0
+    with pytest.raises(ValueError):
+        prune_chunks_isin(chunks, "bucket", [])
+    with pytest.raises(TypeError):
+        prune_chunks_isin(chunks, "bucket", [1, "x"])
+    chunks.unpersist()

