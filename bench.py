@@ -328,7 +328,116 @@ def run_scaling(n_rows: int, n_small: int = 2, n_big: int = 8,
     return summary
 
 
+def run_page_sweep(sf_dir: str) -> list[dict]:
+    """Ratio/throughput sweep of page sizing (fixed rows_per_chunk vs the
+    bytes-targeted auto mode) across three table shapes with very
+    different row widths. Persists BENCH_PAGES.json and re-renders the
+    BENCH.md section."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pysparkenc.engine import encode_table
+    from pysparkenc.synth import make_tokens_table
+
+    spark = make_spark(min(CPUS, 16))
+    force(encode_table(make_tokens_table(spark, 2_000, seed=7)))  # warmup
+
+    tmpdir = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    tmp = tempfile.mkdtemp(prefix="pysparkenc-pages-", dir=tmpdir)
+    try:
+        make_tokens_table(spark, 400_000, seed=42).write.parquet(f"{tmp}/tokens")
+        shapes = {
+            "tokens (array<int32>, ~300B/row)": spark.read.parquet(f"{tmp}/tokens"),
+            "lineitem (16 scalar cols)": spark.read.parquet(
+                f"{sf_dir}/lineitem.parquet"
+            ),
+            "documents (text-heavy, ~KB/row)": spark.read.parquet(
+                f"{sf_dir}/documents.parquet"
+            ),
+        }
+        settings = [
+            ("rows=2048", {"rows_per_chunk": 2048}),
+            ("rows=4096 (default)", {"rows_per_chunk": 4096}),
+            ("rows=16384", {"rows_per_chunk": 16384}),
+            ("bytes=1MiB", {"target_chunk_bytes": 1 << 20}),
+            ("bytes=4MiB", {"target_chunk_bytes": 4 << 20}),
+        ]
+        for df in shapes.values():
+            df.persist().count()
+        best: dict[tuple[str, str], dict] = {}
+        # two interleaved passes, keep the min wall per combo: shared-host
+        # noise must hit the same combo in both passes to bias the sweep
+        for _pass in range(2):
+            for shape, df in shapes.items():
+                for label, kw in settings:
+                    t0 = time.monotonic()
+                    agg = (
+                        encode_table(df, **kw)
+                        .agg(F.sum("plain_bytes").alias("p"),
+                             F.sum("enc_bytes").alias("e"))
+                        .collect()[0]
+                    )
+                    wall = round(time.monotonic() - t0, 3)
+                    r = {"shape": shape, "pages": label, "wall_sec": wall,
+                         "ratio": round(agg["p"] / agg["e"], 4)}
+                    k = (shape, label)
+                    if k not in best or wall < best[k]["wall_sec"]:
+                        best[k] = r
+        rows = list(best.values())
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+    with open(os.path.join(REPO, "BENCH_PAGES.json"), "w") as f:
+        json.dump(rows, f, indent=1)
+    render_bench_md()
+    return rows
+
+
+def _pages_section() -> str:
+    path = os.path.join(REPO, "BENCH_PAGES.json")
+    if not os.path.exists(path):
+        return ""
+    with open(path) as f:
+        rows = json.load(f)
+    by_shape: dict[str, list[dict]] = {}
+    for r in rows:
+        by_shape.setdefault(r["shape"], []).append(r)
+    tables = []
+    for shape, rs in by_shape.items():
+        body = "\n".join(
+            f"| {r['pages']} | {r['wall_sec']} | {r['ratio']} |" for r in rs
+        )
+        tables.append(
+            f"**{shape}**\n\n| page sizing | encode wall (s) | ratio |\n"
+            f"|---|---|---|\n{body}"
+        )
+    joined = "\n\n".join(tables)
+    return f"""
+## Page sizing: fixed rows vs bytes target
+
+`encode_table(..., target_chunk_bytes=N)` sizes pages by their Arrow
+byte footprint instead of a fixed row count, so wide tables (lineitem)
+and narrow ones land near the same throughput-optimal page bytes.
+Best-of-2 interleaved passes per combo ({min(CPUS, 16)} threads):
+
+{joined}
+
+Reproduce: `python bench.py --page-sweep`.
+"""
+
+
+def render_bench_md() -> None:
+    path = os.path.join(REPO, "BENCH_SCALING.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            write_bench_md(json.load(f))
+
+
 def write_bench_md(s: dict) -> None:
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+        json.dump(s, f, indent=1)
     path = os.path.join(REPO, "BENCH.md")
     cap_rows = "\n".join(
         f"| {c['procs']} | {c['wall_sec']} | {c['effective_parallelism']} |"
@@ -394,7 +503,7 @@ Compression ratio (plain/encoded, auto-selected codecs): {s['compression_ratio']
 
 Reproduce: `python bench.py --scaling --rows {s['rows']}`.
 Headline per-query timings land in BENCH_r{{N}}.json via `python bench.py`.
-"""
+{_pages_section()}"""
     with open(path, "w") as f:
         f.write(body)
 
@@ -402,6 +511,7 @@ Headline per-query timings land in BENCH_r{{N}}.json via `python bench.py`.
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--page-sweep", action="store_true")
     ap.add_argument("--scaling-rounds", type=int, default=3)
     ap.add_argument("--rows", type=int, default=200_000)
     ap.add_argument("--worker-cpus", type=int, default=None)
@@ -414,6 +524,8 @@ def main() -> None:
         out = run_worker(args.worker_cpus, args.rows, args.input_path)
     elif args.scaling:
         out = run_scaling(args.rows, rounds=args.scaling_rounds)
+    elif args.page_sweep:
+        out = run_page_sweep(args.sf_dir)
     else:
         out = run_bench(args.sf_dir, args.cpus)
     print(json.dumps(out))

@@ -59,6 +59,7 @@ def cmd_encode(args: argparse.Namespace) -> int:
         codec=None if args.codec in (None, "auto") else args.codec,
         compression=None if args.compression in (None, "none") else args.compression,
         rows_per_chunk=args.rows_per_chunk,
+        target_chunk_bytes=args.target_chunk_bytes,
         resume=args.resume,
     )
     print(json.dumps(metrics))
@@ -107,6 +108,8 @@ def main(argv: list[str] | None = None) -> int:
     enc.add_argument("--codec", default="auto")
     enc.add_argument("--compression", default="none")
     enc.add_argument("--rows-per-chunk", type=int, default=4096)
+    enc.add_argument("--target-chunk-bytes", type=int, default=None,
+                     help="size pages by Arrow bytes instead of rows")
     enc.add_argument("--columns", default=None)
     enc.add_argument("--resume", action=argparse.BooleanOptionalAction,
                      default=True)

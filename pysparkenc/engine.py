@@ -609,6 +609,7 @@ def encode_table(
     group_key_col: str | None = None,
     compression: str | None = None,
     rows_per_chunk: int | None = 4096,
+    target_chunk_bytes: int | None = None,
 ) -> DataFrame:
     """Encode every column of ``df`` into chunk rows (CHUNK_SCHEMA).
 
@@ -626,6 +627,14 @@ def encode_table(
     is fastest AND smaller than unpaged (cache-sized kernel arrays);
     2048 maximizes ratio (+3.5%) at ~28% throughput cost; None = one
     chunk group per Arrow batch.
+    ``target_chunk_bytes``: overrides ``rows_per_chunk`` with a BYTES
+    target per page: rows-per-page = the largest power of two whose
+    Arrow footprint (``batch.nbytes / batch.num_rows`` across all
+    columns) fits the target, clamped to [512, 65536]. A fixed row
+    count lands wide tables (lineitem, 16 cols) and narrow ones
+    (documents) at very different page byte sizes; a bytes target puts
+    both near the throughput-optimal point (sweep table in BENCH.md,
+    `python bench.py --page-sweep`).
     """
     spark = df.sparkSession
     if num_partitions is None:
@@ -686,7 +695,12 @@ def encode_table(
                 gk = str(
                     batch.column(batch.schema.get_field_index(gk_col))[0]
                 )
-            step = rows_per_chunk or batch.num_rows
+            if target_chunk_bytes:
+                row_b = max(1.0, batch.nbytes / batch.num_rows)
+                raw = max(512, min(65536, int(target_chunk_bytes / row_b)))
+                step = 1 << (raw.bit_length() - 1)
+            else:
+                step = rows_per_chunk or batch.num_rows
             for start in range(0, batch.num_rows, step):
                 sub = batch.slice(start, step)
                 yield _encode_arrow_batch(sub, fields, pid, seq, gk,

@@ -151,3 +151,37 @@ def test_single_row_roundtrip(spark):
     assert [r["tokens"] for r in out.collect()] == [
         r["tokens"] for r in df.collect()
     ]
+
+
+def test_target_chunk_bytes_adapts_page_rows(spark):
+    """Bytes-targeted paging: the same target must yield FEWER rows per
+    page on a wide (fat-row) table than on a narrow one, and both must
+    still round-trip exactly."""
+    narrow = spark.range(20000).select(F.col("id").alias("k"))
+    wide = spark.range(4000).select(
+        "id", F.repeat(F.concat(F.lit("x"), F.col("id").cast("string")), 200).alias("body")
+    )
+    target = 256 * 1024
+
+    nc = encode_table(narrow, num_partitions=2,
+                      target_chunk_bytes=target).cache()
+    wc = encode_table(wide, num_partitions=2,
+                      target_chunk_bytes=target).cache()
+    n_rows_per_page = max(
+        r["n_values"] for r in nc.where(F.col("col") == "k").collect()
+    )
+    w_rows_per_page = max(
+        r["n_values"] for r in wc.where(F.col("col") == "id").collect()
+    )
+    # narrow rows are ~8B -> pages grow toward the 65536 cap; wide rows
+    # are hundreds of bytes -> a 256KB target fits only a few hundred
+    assert w_rows_per_page < n_rows_per_page
+    assert w_rows_per_page <= 1024
+    assert n_rows_per_page >= 8192
+
+    got_n = {r["k"] for r in decode_table(nc, narrow.schema).collect()}
+    assert got_n == set(range(20000))
+    got_w = {(r["id"], r["body"]) for r in decode_table(wc, wide.schema).collect()}
+    want_w = {(r["id"], r["body"]) for r in wide.collect()}
+    assert got_w == want_w
+    nc.unpersist(); wc.unpersist()
