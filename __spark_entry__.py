@@ -800,6 +800,18 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (spherical-k-means coarse quantizer, 32 cells, probe 8):
+    the centroid-bucketed sibling of the LSH path — corpus vectors land
+    in one inverted-file cell each, queries probe their 8 nearest cells,
+    scoring is cell-local. recall@5 vs cosine_topk pinned >= 0.6 in
+    tests/test_ann_recall.py."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return sim.ann_ivf_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, n_centroids=32, n_probe=8
+    )
+
+
 def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpoint-resume demo (north_rule): run 1 'crashes' with two
     partitions uncommitted, run 2 resumes and encodes only the missing
@@ -892,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_summary": q_compression_summary,
         "asset_features": q_asset_features,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "lineage_resume": q_lineage_resume,
     }
 

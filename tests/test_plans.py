@@ -188,3 +188,15 @@ def test_decode_projection_pushes_chunk_filter(spark, tmp_path):
     got = {r["doc_id"]: r["n_tok"] for r in out.collect()}
     want = {r["doc_id"]: r["n_tok"] for r in df.collect()}
     assert got == want
+
+
+def test_ann_ivf_join_is_cell_equi_join(emb):
+    from pysparkenc.similarity import ann_ivf_topk
+
+    plan = plan_of(ann_ivf_topk(emb, emb.where(F.col("vec_id") < 5), k=3,
+                                n_centroids=8, n_probe=2))
+    # cell-key equi-join with the small probe side broadcast; cell ids
+    # come from one BLAS matmul per Arrow batch (MapInArrow), and the
+    # rank runs over partition-local top-k survivors
+    assert "BroadcastHashJoin" in plan and "MapInArrow" in plan
+    assert "NestedLoop" not in plan and "BatchEvalPython" not in plan
