@@ -100,6 +100,38 @@ SELECT id::BIGINT AS asset_id, any_value(kind) AS kind,
   concat_ws(',', {f_cols}) AS f_ppm
 FROM hist GROUP BY id
 """
+def _asset_resize_sql(n: int = 200, seed: int = 42, out_len: int = 16) -> str:
+    """Mirror of q_asset_resize: sampled byte position p = (j*size) //
+    out_len for j in 0..out_len-1; byte p of asset i is byte (p % 8) of
+    splitmix64(i * 0x10000000001 + p // 8 + seed * 0x9E3779B9) — the same
+    payload derivation _asset_features_sql mirrors, evaluated only at the
+    out_len sampled positions per asset."""
+    byte_div = (
+        "(CASE (p % 8)::INT "
+        + " ".join(f"WHEN {b} THEN {1 << (8 * b)}::HUGEINT" for b in range(7))
+        + f" ELSE {1 << (8 * 7)}::HUGEINT END)"
+    )
+    return f"""
+WITH ids AS (SELECT unnest(range(0, {n}))::HUGEINT AS id),
+sz AS (SELECT id, {_sm64_cols(f"id + {seed}*7919", "h1")} FROM ids),
+sz2 AS (SELECT id, 64 + (h1 % 4032) AS size,
+        ['image','audio','video'][(id % 3)::INT + 1] AS kind FROM sz),
+pos AS (SELECT id, size, kind, j,
+        (j * size) // {out_len} AS p
+        FROM sz2, unnest(range(0, {out_len})) AS t(j)),
+w AS (SELECT id, size, kind, j, p,
+      {_sm64_cols(f"(id * 1099511627777 + p // 8 + {seed} * 2654435769)"
+                  " % 18446744073709551616", "wd")}
+      FROM pos),
+sm AS (SELECT id, size, kind, j,
+       ((wd // {byte_div}) % 256)::BIGINT AS byte FROM w)
+SELECT id::BIGINT AS asset_id, any_value(kind) AS kind,
+  any_value(size)::BIGINT AS n_bytes,
+  string_agg(byte::VARCHAR, ',' ORDER BY j) AS samples_csv
+FROM sm GROUP BY id
+"""
+
+
 def _frame_sample_sql(n: int = 200, seed: int = 42, every_n: int = 10) -> str:
     """Mirror of q_frame_sample: n_frames = 1 + splitmix64(splitmix64(
     id + seed*7919)) % 299 for video assets (id % 3 = 2), sampled every
@@ -791,6 +823,24 @@ def q_asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asset_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize: nearest-neighbor resample of each asset's
+    decoded byte stream to 16 samples (multimodal.resize_assets — one
+    vectorized gather per Arrow batch). The oracle re-derives each
+    sampled byte position independently in DuckDB via the splitmix64
+    mirror, so the hash gate checks every sample of every asset."""
+    assets = mm.make_assets_table(spark, 200)
+    rs = mm.resize_assets(assets, out_len=16)
+    return rs.select(
+        "asset_id",
+        "kind",
+        "n_bytes",
+        F.array_join(
+            F.transform("samples", lambda x: x.cast("string")), ","
+        ).alias("samples_csv"),
+    )
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table hyperplane LSH (8 tables x 16 buckets): recall@5 vs
     cosine_topk is pinned >= 0.6 in tests/test_ann_recall.py."""
@@ -903,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokens_encode_roundtrip": q_tokens_encode_roundtrip,
         "compression_summary": q_compression_summary,
         "asset_features": q_asset_features,
+        "asset_resize": q_asset_resize,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "lineage_resume": q_lineage_resume,
@@ -1053,6 +1104,7 @@ FROM t JOIN w USING (doc_id)
             "SELECT event_id, epoch_us(ts) AS ts_us FROM events"
         ),
         "asset_features": _asset_features_sql(),
+        "asset_resize": _asset_resize_sql(),
         "frame_sample": _frame_sample_sql(),
         "footer_stats_lineitem": footer_union,
         "pruned_range_scan": (

@@ -82,3 +82,23 @@ def test_frame_sample_plan(spark):
     assert set(by_asset) == set(vids)
     for aid, idxs in by_asset.items():
         assert idxs == list(range(0, vids[aid], 10))
+
+
+def test_resize_assets_nearest_neighbor(spark):
+    assets = mm.make_assets_table(spark, 40)
+    out_len = 16
+    got = {r["asset_id"]: r for r in
+           mm.resize_assets(assets, out_len=out_len).collect()}
+    for r in assets.collect():
+        raw = np.frombuffer(bytes(r["payload"]), dtype=np.uint8)
+        want = [int(raw[(j * raw.size) // out_len]) for j in range(out_len)]
+        row = got[r["asset_id"]]
+        assert row["n_bytes"] == raw.size
+        assert row["kind"] == r["kind"]
+        assert list(row["samples"]) == want
+
+
+def test_resize_assets_stub_contract(spark):
+    assets = mm.make_assets_table(spark, 5)
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        mm.resize_assets(assets, fake_decode=False).collect()
