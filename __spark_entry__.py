@@ -30,7 +30,7 @@ from pysparkenc import similarity as sim
 from pysparkenc import textops as tx
 from pysparkenc.dedup import minhash_params
 from pysparkenc.engine import decode_table, encode_table, footer
-from pysparkenc.synth import make_tokens_table
+from pysparkenc.synth import SOURCES, make_tokens_table
 
 P31 = tx.MERSENNE31
 
@@ -100,6 +100,46 @@ SELECT id::BIGINT AS asset_id, any_value(kind) AS kind,
   concat_ws(',', {f_cols}) AS f_ppm
 FROM hist GROUP BY id
 """
+_SRC_CUMW = [
+    "0.4220009575692192", "0.5933866020943314", "0.694557546790661",
+    "0.7641617470239511", "0.8162395232080467", "0.8573276943436556",
+    "0.890954528686561", "0.9192226179045356", "0.9434774445042333",
+    "0.964627593755451", "0.9833130172666031", "0.9999999999999999",
+]  # exact repr of np.cumsum(synth._W) — the Zipf(1.3) source boundaries
+
+
+def _tokens_roundtrip_sql(n: int = 2_000, seed: int = 42) -> str:
+    """Independent re-derivation of q_tokens_encode_roundtrip's expected
+    output: synth.make_tokens_table's per-row (source, n_tok) is a pure
+    function of the row index (splitmix64 -> uniforms -> Zipf searchsorted
+    + Box-Muller lognormal), mirrored here in DuckDB doubles, with
+    mismatches pinned at the 0 the roundtrip must produce. Any decode
+    corruption changes the Spark side's mismatch sums (or, if tokens are
+    dropped, the doc/token sums) and breaks the hash gate."""
+    src_case = " + ".join(
+        f"(CASE WHEN {c} < u1 THEN 1 ELSE 0 END)" for c in _SRC_CUMW
+    )
+    src_label = (
+        "['" + "','".join(SOURCES) + f"'][least({src_case}, 11) + 1]"
+    )
+    return f"""
+WITH ids AS (SELECT unnest(range(0, {n}))::HUGEINT AS id),
+h AS (SELECT id,
+  {_sm64_cols(f"(id + {seed} * 4294967297) % 18446744073709551616", "h1")}
+  FROM ids),
+hh AS (SELECT id, h1, {_sm64_cols("h1", "h2")} FROM h),
+u AS (SELECT id, (h1 // 2048) / 9007199254740992.0 AS u1,
+             (h2 // 2048) / 9007199254740992.0 AS u2 FROM hh),
+d AS (SELECT id, {src_label} AS source,
+  least(greatest(round(exp(4.0 + 0.8 * (sqrt(-2.0 * ln(greatest(u2, 1e-300)))
+        * cos(2 * pi() * u1)))), 8), 4096)::BIGINT AS n_tok
+  FROM u)
+SELECT source, count(*)::BIGINT AS docs, sum(n_tok)::BIGINT AS tokens,
+  0::BIGINT AS mismatches
+FROM d GROUP BY source
+"""
+
+
 def _asset_resize_sql(n: int = 200, seed: int = 42, out_len: int = 16) -> str:
     """Mirror of q_asset_resize: sampled byte position p = (j*size) //
     out_len for j in 0..out_len-1; byte p of asset i is byte (p % 8) of
@@ -1105,6 +1145,7 @@ FROM t JOIN w USING (doc_id)
         ),
         "asset_features": _asset_features_sql(),
         "asset_resize": _asset_resize_sql(),
+        "tokens_encode_roundtrip": _tokens_roundtrip_sql(),
         "frame_sample": _frame_sample_sql(),
         "footer_stats_lineitem": footer_union,
         "pruned_range_scan": (
