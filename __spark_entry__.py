@@ -881,6 +881,28 @@ def q_asset_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``pysparkenc`` Spark data source end-to-end: write documents
+    into a chunk store via ``df.write.format("pysparkenc")``, read it
+    back through ``spark.read.format("pysparkenc")`` with Catalyst
+    filters pushed into the reader (page groups pruned by dict-page and
+    stat probes before decode), and return the filtered projection. The
+    oracle runs the same predicate directly on the parquet table — any
+    wrong pruning or decode corruption breaks the hash gate."""
+    import tempfile
+
+    from pysparkenc.datasource import register
+
+    register(spark)
+    store = tempfile.mkdtemp(prefix="pysparkenc_ds_") + "/store"
+    docs = _read(spark, sf_dir, "documents")
+    docs.write.format("pysparkenc").mode("overwrite").save(store)
+    back = spark.read.format("pysparkenc").load(store)
+    return back.where(
+        F.col("source").isin("src3", "src7") & (F.col("n_chars") >= 200)
+    ).select("doc_id", "lang", "n_chars")
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table hyperplane LSH (8 tables x 16 buckets): recall@5 vs
     cosine_topk is pinned >= 0.6 in tests/test_ann_recall.py."""
@@ -994,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_summary": q_compression_summary,
         "asset_features": q_asset_features,
         "asset_resize": q_asset_resize,
+        "datasource_scan": q_datasource_scan,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "lineage_resume": q_lineage_resume,
@@ -1146,6 +1169,10 @@ FROM t JOIN w USING (doc_id)
         "asset_features": _asset_features_sql(),
         "asset_resize": _asset_resize_sql(),
         "tokens_encode_roundtrip": _tokens_roundtrip_sql(),
+        "datasource_scan": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE source IN ('src3', 'src7') AND n_chars >= 200"
+        ),
         "frame_sample": _frame_sample_sql(),
         "footer_stats_lineitem": footer_union,
         "pruned_range_scan": (

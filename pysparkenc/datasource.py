@@ -1,0 +1,378 @@
+"""``pysparkenc`` as a first-class Spark data source (Python Data Source
+API, Spark 4):
+
+    spark.dataSource.register(ChunkStoreDataSource)
+    df.write.format("pysparkenc").mode("overwrite").save(path)
+    spark.read.format("pysparkenc").load(path).where("id > 100")
+
+Store layout (plain files, any fs path the driver and executors share)::
+
+    <path>/_pysparkenc_schema.json   logical Spark schema + format version
+    <path>/chunks/part-*.parquet     chunk rows (engine.CHUNK_SCHEMA)
+
+Scale design:
+
+- One input partition per chunk parquet file — the driver holds O(files)
+  metadata, never chunk rows; each task streams its own file. Writes are
+  one file per task with unique names, so concurrent tasks never collide
+  and a failed job never corrupts the previous store (old files are
+  removed only in ``commit`` for overwrite mode).
+- **Catalyst filter pushdown** (``pushFilters``): equality / IN / range /
+  IsNotNull / StringStartsWith predicates on top-level scalar columns
+  prune whole page groups per file — dictionary-page membership probes
+  for ``dict_rle`` chunks, NaN-safe min/max and truncation-safe
+  smin/smax otherwise (the same :func:`engine._chunk_passes_isin` /
+  :func:`engine._chunk_passes_range` predicates the engine's Spark-side
+  pruning uses). Every filter is also returned to Spark for
+  re-evaluation, so pruning is a pure optimization and can never drop a
+  row it shouldn't: a group survives unless the stats *prove* it empty.
+- Decode reuses :func:`engine._group_decoder` — the exact executor path
+  ``decode_table`` runs under ``applyInArrow``, yielding Arrow record
+  batches (zero row-at-a-time Python).
+
+The reference is a library around parquet files, not a query engine
+(file-reader.go:99-107); this module is the Spark-native equivalent of
+"being a file format": schema inference, source, sink, and predicate
+pushdown through the encoded representation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    EqualNullSafe,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+    StringStartsWith,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+from . import engine
+
+FORMAT_VERSION = 1
+_SCHEMA_FILE = "_pysparkenc_schema.json"
+_CHUNK_DIR = "chunks"
+
+
+def _schema_path(path: str) -> str:
+    return os.path.join(path, _SCHEMA_FILE)
+
+
+def _chunk_dir(path: str) -> str:
+    return os.path.join(path, _CHUNK_DIR)
+
+
+def _list_chunk_files(path: str) -> list[str]:
+    d = _chunk_dir(path)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+
+
+def read_store_schema(path: str) -> StructType:
+    with open(_schema_path(path)) as fh:
+        meta = json.load(fh)
+    return StructType.fromJson(meta["schema"])
+
+
+# ---------------------------------------------------------------------------
+# reader
+# ---------------------------------------------------------------------------
+
+@dataclass
+class _Pushed:
+    """Picklable pruning predicate for one column."""
+
+    col: str
+    kind: str  # "isin" | "range" | "notnull"
+    values: tuple = ()
+    lo: object = None
+    hi: object = None
+
+
+def _to_pushed(filters: Sequence[Filter], schema: StructType) -> list[_Pushed]:
+    """Translate the prunable subset of Catalyst filters. Only top-level
+    scalar columns participate (nested predicates stay Spark-side)."""
+    scalar = {
+        f.name
+        for f in schema.fields
+        if f.dataType.typeName()
+        not in ("struct", "array", "map")
+    }
+    out: list[_Pushed] = []
+    for f in filters:
+        attr = getattr(f, "attribute", None)
+        if not attr or len(attr) != 1 or attr[0] not in scalar:
+            continue
+        c = attr[0]
+        if isinstance(f, EqualTo) or (
+            isinstance(f, EqualNullSafe) and f.value is not None
+        ):
+            out.append(_Pushed(c, "isin", (f.value,)))
+        elif isinstance(f, In):
+            vals = tuple(v for v in f.value if v is not None)
+            if vals:
+                out.append(_Pushed(c, "isin", vals))
+        elif isinstance(f, GreaterThan) or isinstance(f, GreaterThanOrEqual):
+            out.append(_Pushed(c, "range", lo=f.value))
+        elif isinstance(f, LessThan) or isinstance(f, LessThanOrEqual):
+            out.append(_Pushed(c, "range", hi=f.value))
+        elif isinstance(f, IsNotNull):
+            out.append(_Pushed(c, "notnull"))
+        elif isinstance(f, StringStartsWith):
+            out.append(_Pushed(c, "prefix", (f.value,)))
+    return out
+
+
+def _group_passes(meta_rows: dict[str, dict], p: _Pushed) -> bool:
+    """Does this page group possibly satisfy predicate ``p``?  Missing
+    chunk/stats keep the group — only provable emptiness drops it."""
+    d = meta_rows.get(p.col)
+    if d is None:
+        return True
+    extra = json.loads(d["extra"] or "{}")
+    if p.kind == "notnull":
+        nr, nc = d["n_rows"], d["null_count"]
+        return not (nr is not None and nc is not None and nc >= nr)
+    if p.kind == "prefix":
+        pref = str(p.values[0])
+        smin, smax = extra.get("smin"), extra.get("smax")
+        if smax is not None and smax < pref:
+            return False
+        if smin is not None and smin > pref and not smin.startswith(pref):
+            return False
+        return True
+    if p.kind == "isin":
+        vals = list(p.values)
+        is_bytes = isinstance(vals[0], (str, bytes))
+        svals = {v if isinstance(v, bytes) else str(v).encode() for v in vals}
+        return engine._chunk_passes_isin(
+            d["codec"], d["dtype"], d["n_unique"], d["num_min"], d["num_max"],
+            extra, d["aux"],
+            svals=svals,
+            strs=sorted(s.decode(errors="replace") for s in svals),
+            fvals=None if is_bytes else np.array(sorted(vals), np.float64),
+            nvals=None if is_bytes else np.asarray(sorted(vals)),
+        )
+    return engine._chunk_passes_range(
+        d["num_min"], d["num_max"], extra, p.lo, p.hi
+    )
+
+
+class ChunkStoreReader(DataSourceReader):
+    def __init__(self, path: str, schema: StructType):
+        if not path:
+            raise ValueError("pysparkenc reader needs a path")
+        self.path = path
+        self.user_schema = schema
+        self.pushed: list[_Pushed] = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        self.pushed = _to_pushed(filters, self.user_schema)
+        # return every filter: Spark re-applies them all, so our pruning
+        # is an optimization with unconditional correctness
+        return iter(filters)
+
+    def partitions(self) -> list[InputPartition]:
+        files = _list_chunk_files(self.path)
+        # zero files: one empty partition so the scan yields an empty
+        # DataFrame instead of failing
+        return [InputPartition(f) for f in files] or [InputPartition(None)]
+
+    def read(self, partition: InputPartition):
+        if partition.value is None:
+            return
+        schema = self.user_schema
+        allowed: set[str] = set()
+        for f in schema.fields:
+            allowed |= engine._subtree_chunk_names(f.name, f.dataType)
+        table = pq.read_table(
+            partition.value,
+            filters=[("col", "in", sorted(allowed))],
+        )
+        if table.num_rows == 0:
+            return
+        decode_pages = engine._group_decoder(schema)
+        pid = table.column("part_id").to_numpy()
+        cid = table.column("chunk_id").to_numpy()
+        order = np.lexsort((cid, pid))
+        table = table.take(pa.array(order))
+        pid, cid = pid[order], cid[order]
+        keys = pid * (int(cid.max()) + 1 if cid.size else 1) + cid
+        group_starts = np.concatenate(
+            [[0], np.flatnonzero(np.diff(keys)) + 1, [keys.size]]
+        )
+        # page-group pruning against the pushed predicates
+        keep_slices = []
+        if self.pushed:
+            cols = {
+                c: table.column(c).to_pylist()
+                for c in ("col", "codec", "dtype", "n_rows", "null_count",
+                          "n_unique", "num_min", "num_max", "extra", "aux")
+            }
+        for s, e in zip(group_starts[:-1], group_starts[1:]):
+            if self.pushed:
+                meta_rows = {
+                    cols["col"][j]: {c: cols[c][j] for c in cols}
+                    for j in range(s, e)
+                }
+                if not all(
+                    _group_passes(meta_rows, p) for p in self.pushed
+                ):
+                    continue
+            keep_slices.append((int(s), int(e - s)))
+        for s, n in keep_slices:
+            out = decode_pages(table.slice(s, n))
+            yield from out.to_batches()
+
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    files: tuple = ()
+
+
+class ChunkStoreWriter(DataSourceArrowWriter):
+    def __init__(self, path: str, schema: StructType, options: dict,
+                 overwrite: bool):
+        self.path = path
+        self.fields = schema.fields
+        self.schema_json = schema.jsonValue()
+        self.overwrite = overwrite
+        codec = options.get("codec")
+        self.codec_for: dict[str, str] = {}
+        self.default_codec = codec or None
+        self.compression = options.get("compression") or None
+        self.rows_per_chunk = int(options.get("rows_per_chunk", "4096"))
+        tcb = options.get("target_chunk_bytes")
+        self.target_chunk_bytes = int(tcb) if tcb else None
+        # captured at job start (driver): the files an overwrite replaces
+        self.previous_files = tuple(_list_chunk_files(path))
+        for f in schema.fields:
+            engine._logical_of(f)  # fail on unsupported types driver-side
+
+    def write(self, iterator: Iterator[pa.RecordBatch]) -> _FileCommit:
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        out: list[pa.RecordBatch] = []
+        seq = 0
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            if self.target_chunk_bytes:
+                row_b = max(1.0, batch.nbytes / batch.num_rows)
+                raw = max(512, min(65536, int(self.target_chunk_bytes / row_b)))
+                step = 1 << (raw.bit_length() - 1)
+            else:
+                step = self.rows_per_chunk or batch.num_rows
+            for start in range(0, batch.num_rows, step):
+                sub = batch.slice(start, step)
+                out.append(
+                    engine._encode_arrow_batch(
+                        sub, self.fields, pid, seq, None,
+                        self.codec_for, self.default_codec, self.compression,
+                    )
+                )
+                seq += 1
+        if not out:
+            return _FileCommit(())
+        os.makedirs(_chunk_dir(self.path), exist_ok=True)
+        fname = os.path.join(
+            _chunk_dir(self.path), f"part-{pid:05d}-{uuid.uuid4().hex}.parquet"
+        )
+        pq.write_table(pa.Table.from_batches(out), fname)
+        return _FileCommit((fname,))
+
+    def commit(self, messages):
+        if self.overwrite:
+            new = {f for m in messages if m for f in m.files}
+            for f in self.previous_files:
+                if f not in new and os.path.exists(f):
+                    os.remove(f)
+        os.makedirs(self.path, exist_ok=True)
+        with open(_schema_path(self.path), "w") as fh:
+            json.dump(
+                {"version": FORMAT_VERSION, "schema": self.schema_json}, fh
+            )
+
+    def abort(self, messages):
+        for m in messages:
+            if m is None:
+                continue
+            for f in m.files:
+                if os.path.exists(f):
+                    os.remove(f)
+
+
+# ---------------------------------------------------------------------------
+# the data source
+# ---------------------------------------------------------------------------
+
+class ChunkStoreDataSource(DataSource):
+    """``format("pysparkenc")`` — see the module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pysparkenc"
+
+    def _path(self) -> str:
+        p = self.options.get("path")
+        if not p:
+            raise ValueError(
+                "pysparkenc needs a path: .load(path) / .save(path)"
+            )
+        return p
+
+    def schema(self) -> StructType:
+        return read_store_schema(self._path())
+
+    def reader(self, schema: StructType) -> ChunkStoreReader:
+        return ChunkStoreReader(self._path(), schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> ChunkStoreWriter:
+        path = self._path()
+        sp = _schema_path(path)
+        if not overwrite and os.path.exists(sp):
+            existing = read_store_schema(path)
+            if existing != schema:
+                raise ValueError(
+                    "append schema does not match existing pysparkenc store: "
+                    f"{existing.simpleString()} vs {schema.simpleString()}"
+                )
+        return ChunkStoreWriter(path, schema, dict(self.options), overwrite)
+
+
+def register(spark) -> None:
+    """Idempotently register the ``pysparkenc`` format on a session and
+    enable Python-source filter pushdown (off by default in Spark 4.1)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(ChunkStoreDataSource)
+    except Exception:
+        pass  # already registered

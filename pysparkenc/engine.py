@@ -909,38 +909,12 @@ def _decode_scalar_array(
     return ba.cast(_arrow_type_of(logical))
 
 
-def decode_table(
-    chunks_df: DataFrame,
-    schema: StructType | None = None,
-    *,
-    pages_per_group: int = 32,
-) -> DataFrame:
-    """Inverse of :func:`encode_table`: chunk rows -> original rows.
-    Nested columns reassemble recursively from their subtree chunks
-    (lengths re-inflate to offsets level by level, validity bitvectors
-    scatter values back under their slots — the inverse Dremel walk of
-    datastore/column.go:127-177, without materializing level streams).
-
-    Column projection pushes down through the encoded representation:
-    pass a schema containing only the columns you need and the chunk scan
-    is filtered to exactly those chunks (plus their validity/length side
-    chunks) *before* the group shuffle — on a parquet-backed chunk table
-    the filter reaches the scan as a pushed predicate, the Spark-side
-    analogue of the reference's SetSelectedColumns + SkipChunk
-    (schema/schema.go:212-232, layout/chunk.go:28-51).
-
-    ``pages_per_group`` batches that many consecutive chunk groups (pages)
-    of a partition into ONE ``applyInArrow`` call: page granularity keeps
-    its encode-side selector benefits while the decode amortizes the
-    per-call Python/Arrow overhead over ~128k rows instead of 4096.
-    Executor memory stays bounded by ``pages_per_group × page size``.
-    """
-    if schema is None:
-        schema = output_schema_of_chunks(chunks_df)
-    allowed: set[str] = set()
-    for f in schema.fields:
-        allowed |= _subtree_chunk_names(f.name, f.dataType)
-    chunks_df = chunks_df.where(F.col("col").isin(sorted(allowed)))
+def _group_decoder(schema: StructType):
+    """Build the chunk-group decode function for ``schema``: a callable
+    taking a pa.Table of CHUNK_SCHEMA rows (one partition's pages, any
+    number of chunk_ids) and returning the decoded pa.Table. Shared by
+    :func:`decode_table` (executor-side via ``applyInArrow``) and the
+    ``pysparkenc`` Python data source reader (per input file)."""
     out_pa_schema = pa.schema(
         [(f.name, _arrow_full_type(f.dataType, f.name)) for f in schema.fields]
     )
@@ -1066,6 +1040,43 @@ def decode_table(
             pieces.append(decode_one_group(by_col, n_rows))
         return pieces[0] if len(pieces) == 1 else pa.concat_tables(pieces)
 
+    return decode_pages
+
+
+def decode_table(
+    chunks_df: DataFrame,
+    schema: StructType | None = None,
+    *,
+    pages_per_group: int = 32,
+) -> DataFrame:
+    """Inverse of :func:`encode_table`: chunk rows -> original rows.
+    Nested columns reassemble recursively from their subtree chunks
+    (lengths re-inflate to offsets level by level, validity bitvectors
+    scatter values back under their slots — the inverse Dremel walk of
+    datastore/column.go:127-177, without materializing level streams).
+
+    Column projection pushes down through the encoded representation:
+    pass a schema containing only the columns you need and the chunk scan
+    is filtered to exactly those chunks (plus their validity/length side
+    chunks) *before* the group shuffle — on a parquet-backed chunk table
+    the filter reaches the scan as a pushed predicate, the Spark-side
+    analogue of the reference's SetSelectedColumns + SkipChunk
+    (schema/schema.go:212-232, layout/chunk.go:28-51).
+
+    ``pages_per_group`` batches that many consecutive chunk groups (pages)
+    of a partition into ONE ``applyInArrow`` call: page granularity keeps
+    its encode-side selector benefits while the decode amortizes the
+    per-call Python/Arrow overhead over ~128k rows instead of 4096.
+    Executor memory stays bounded by ``pages_per_group × page size``.
+    """
+    if schema is None:
+        schema = output_schema_of_chunks(chunks_df)
+    allowed: set[str] = set()
+    for f in schema.fields:
+        allowed |= _subtree_chunk_names(f.name, f.dataType)
+    chunks_df = chunks_df.where(F.col("col").isin(sorted(allowed)))
+    decode_pages = _group_decoder(schema)
+
     grouped = chunks_df.withColumn(
         "__pg",
         F.floor(F.col("chunk_id") / F.lit(pages_per_group)).cast("long"),
@@ -1139,6 +1150,91 @@ def prune_chunks(
                           "left_semi")
 
 
+def _chunk_passes_isin(
+    codec: str,
+    dtype: str,
+    n_unique,
+    num_min,
+    num_max,
+    extra: dict,
+    aux,
+    *,
+    svals: set,
+    strs: list,
+    fvals,
+    nvals=None,
+) -> bool:
+    """Single-chunk IN-list probe shared by :func:`prune_chunks_isin`
+    (executor-side over footer batches) and the ``pysparkenc`` data
+    source reader (per input file). ``fvals`` is a sorted float64 array
+    for numeric probes or None for string/bytes probes (``svals`` =
+    encoded byte set, ``strs`` = sorted decoded strings); ``nvals``
+    keeps the probe values in their exact dtype for the dict-page
+    membership test (int64 beyond 2^53 must not round). Missing stats
+    keep the chunk — pruning must never drop rows it can't bound."""
+    from . import compress as blockcomp
+    from .kernels.dictenc import dict_page_decode_bytes, dict_page_decode_numeric
+
+    if codec == "dict_rle":
+        aux = bytes(aux) if aux is not None else b""
+        if comp := extra.get("comp"):
+            aux = blockcomp.decompress(comp, aux)
+        nu = int(n_unique)
+        if dtype in ("int32", "int64", "float32", "float64"):
+            if fvals is None:
+                return False  # string probe against a numeric dict chunk
+            uniques = dict_page_decode_numeric(aux, dtype, nu)
+            probe_vals = nvals if nvals is not None else fvals
+            return bool(np.isin(probe_vals, uniques).any())
+        d_off, d_data = dict_page_decode_bytes(aux, nu)
+        raw = bytes(d_data)
+        return any(
+            raw[d_off[j]: d_off[j + 1]] in svals for j in range(nu)
+        )
+    if fvals is None:
+        smin, smax = extra.get("smin"), extra.get("smax")
+        return any(
+            (smin is None or smin <= v) and (smax is None or smax >= v)
+            for v in strs
+        )
+    mn, mx = num_min, num_max
+    if mn is not None and np.isnan(mn):
+        mn = None
+    if mx is not None and np.isnan(mx):
+        mx = None
+    return bool(
+        np.any(
+            ((fvals >= mn) if mn is not None else True)
+            & ((fvals <= mx) if mx is not None else True)
+        )
+    )
+
+
+def _chunk_passes_range(num_min, num_max, extra: dict, lo, hi) -> bool:
+    """Single-chunk range-overlap test (the local mirror of
+    :func:`prune_chunks`' DataFrame condition, NaN/missing-stat-safe).
+    String bounds consult the truncation-safe smin/smax in ``extra``."""
+    if isinstance(lo, str) or isinstance(hi, str):
+        smin, smax = extra.get("smin"), extra.get("smax")
+        if lo is not None and smax is not None and smax < str(lo):
+            return False
+        if hi is not None and smin is not None and smin > str(hi):
+            return False
+        return True
+    if lo is not None:
+        mx = num_max
+        if mx is not None and not np.isnan(mx) and mx < float(lo):
+            return False
+    if hi is not None:
+        mn = num_min
+        if mn is not None and np.isnan(mn):
+            # all-NaN chunk: NaN sorts greatest, can never satisfy <= hi
+            return False
+        if mn is not None and mn > float(hi):
+            return False
+    return True
+
+
 def prune_chunks_isin(
     chunks_df: DataFrame,
     col: str,
@@ -1162,11 +1258,6 @@ def prune_chunks_isin(
     metadata-scale pass (one Arrow batch of footer rows + aux, payload
     ``data`` never read) followed by a broadcast semi-join.
     """
-    import pyarrow as pa
-
-    from . import compress as blockcomp
-    from .kernels.dictenc import dict_page_decode_bytes, dict_page_decode_numeric
-
     values = list(values)
     if not values:
         raise ValueError("prune_chunks_isin needs at least one probe value")
@@ -1180,56 +1271,23 @@ def prune_chunks_isin(
     svals = {v if isinstance(v, bytes) else str(v).encode() for v in values}
     strs = sorted(s.decode(errors="replace") for s in svals)
     fvals = None if is_bytes_probe else np.array(sorted(values), dtype=np.float64)
+    nvals = None if is_bytes_probe else np.asarray(sorted(values))
 
     def probe(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        num_probe = (
-            None if is_bytes_probe else np.asarray(sorted(values))
-        )
         for b in batches:
             cols = {name: b.column(i) for i, name in enumerate(b.schema.names)}
             keep_p, keep_c = [], []
             for i in range(b.num_rows):
-                codec = cols["codec"][i].as_py()
-                extra = json.loads(cols["extra"][i].as_py() or "{}")
-                keep = True
-                if codec == "dict_rle":
-                    aux = cols["aux"][i].as_py() or b""
-                    if comp := extra.get("comp"):
-                        aux = blockcomp.decompress(comp, aux)
-                    nu = int(cols["n_unique"][i].as_py())
-                    dtype = cols["dtype"][i].as_py()
-                    if dtype in ("int32", "int64", "float32", "float64"):
-                        uniques = dict_page_decode_numeric(aux, dtype, nu)
-                        keep = (not is_bytes_probe) and bool(
-                            np.isin(num_probe, uniques).any()
-                        )
-                    else:
-                        d_off, d_data = dict_page_decode_bytes(aux, nu)
-                        raw = bytes(d_data)
-                        keep = any(
-                            raw[d_off[j] : d_off[j + 1]] in svals
-                            for j in range(nu)
-                        )
-                elif is_bytes_probe:
-                    smin, smax = extra.get("smin"), extra.get("smax")
-                    keep = any(
-                        (smin is None or smin <= v)
-                        and (smax is None or smax >= v)
-                        for v in strs
-                    )
-                else:
-                    mn = cols["num_min"][i].as_py()
-                    mx = cols["num_max"][i].as_py()
-                    if mn is not None and np.isnan(mn):
-                        mn = None
-                    if mx is not None and np.isnan(mx):
-                        mx = None
-                    keep = bool(
-                        np.any(
-                            ((fvals >= mn) if mn is not None else True)
-                            & ((fvals <= mx) if mx is not None else True)
-                        )
-                    )
+                keep = _chunk_passes_isin(
+                    cols["codec"][i].as_py(),
+                    cols["dtype"][i].as_py(),
+                    cols["n_unique"][i].as_py(),
+                    cols["num_min"][i].as_py(),
+                    cols["num_max"][i].as_py(),
+                    json.loads(cols["extra"][i].as_py() or "{}"),
+                    cols["aux"][i].as_py(),
+                    svals=svals, strs=strs, fvals=fvals, nvals=nvals,
+                )
                 if keep:
                     keep_p.append(cols["part_id"][i].as_py())
                     keep_c.append(cols["chunk_id"][i].as_py())

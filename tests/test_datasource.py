@@ -1,0 +1,141 @@
+"""The ``pysparkenc`` Spark data source: write/read/schema-inference/
+filter-pushdown through ``spark.read.format("pysparkenc")``."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    LessThan,
+    StringStartsWith,
+)
+
+from pysparkenc.datasource import (
+    ChunkStoreReader,
+    _list_chunk_files,
+    register,
+)
+
+
+@pytest.fixture(autouse=True)
+def _registered(spark):
+    register(spark)
+
+
+def _mixed_df(spark):
+    return spark.sql(
+        """
+        SELECT id,
+               IF(id % 7 = 0, NULL, concat('doc-', id)) AS name,
+               cast(id * 1.5 AS double) AS score,
+               array(id, id + 1) AS xs,
+               named_struct('a', id, 'b', concat('s', id)) AS st,
+               map('k', id) AS m
+        FROM range(3000)
+        """
+    ).repartition(3)
+
+
+def test_write_read_roundtrip(spark, tmp_path):
+    store = str(tmp_path / "store")
+    df = _mixed_df(spark)
+    df.write.format("pysparkenc").mode("overwrite").save(store)
+    back = spark.read.format("pysparkenc").load(store)
+    assert back.schema == df.schema  # inferred from _pysparkenc_schema.json
+    o = {r["id"]: r.asDict(True) for r in df.collect()}
+    b = {r["id"]: r.asDict(True) for r in back.collect()}
+    assert b == o
+
+
+def test_filters_are_reapplied_correctly(spark, tmp_path):
+    store = str(tmp_path / "store")
+    _mixed_df(spark).write.format("pysparkenc").mode("overwrite").save(store)
+    back = spark.read.format("pysparkenc").load(store)
+    assert back.where("id >= 100 and id < 250").count() == 150
+    assert back.where(F.col("name") == "doc-123").count() == 1
+    assert back.where("name is not null").count() == 3000 - len(
+        range(0, 3000, 7)
+    )
+    assert back.where(F.col("name").startswith("doc-29")).count() == len(
+        [i for i in range(3000) if i % 7 and str(i).startswith("29")]
+    )
+    assert back.where(F.col("id").isin(5, 6, 2999, 99999)).count() == 3
+
+
+def test_overwrite_replaces_previous_store(spark, tmp_path):
+    store = str(tmp_path / "store")
+    spark.range(100).write.format("pysparkenc").mode("overwrite").save(store)
+    spark.range(40).write.format("pysparkenc").mode("overwrite").save(store)
+    assert spark.read.format("pysparkenc").load(store).count() == 40
+
+
+def test_append_accumulates_and_checks_schema(spark, tmp_path):
+    store = str(tmp_path / "store")
+    spark.range(100).write.format("pysparkenc").mode("append").save(store)
+    spark.range(50).write.format("pysparkenc").mode("append").save(store)
+    assert spark.read.format("pysparkenc").load(store).count() == 150
+    with pytest.raises(Exception, match="does not match"):
+        spark.sql("SELECT id, 'x' AS extra FROM range(5)").write.format(
+            "pysparkenc"
+        ).mode("append").save(store)
+
+
+def test_empty_store_reads_empty(spark, tmp_path):
+    store = str(tmp_path / "store")
+    spark.range(10).limit(0).write.format("pysparkenc").mode("append").save(store)
+    back = spark.read.format("pysparkenc").load(store)
+    assert back.count() == 0
+    assert "id" in back.columns
+
+
+def test_reader_prunes_page_groups(spark, tmp_path):
+    """Pushed predicates must skip whole page groups before decode: a
+    selective range on sorted ids decodes a handful of pages, an
+    impossible dictionary probe decodes zero."""
+    store = str(tmp_path / "store")
+    df = (
+        spark.sql(
+            "SELECT id, concat('cat-', id % 8) AS cat FROM range(100000)"
+        )
+        .coalesce(1)
+        .sortWithinPartitions("id")
+    )
+    df.write.format("pysparkenc").mode("overwrite").option(
+        "rows_per_chunk", "2048"
+    ).save(store)
+    schema = spark.read.format("pysparkenc").load(store).schema
+    files = _list_chunk_files(store)
+
+    def rows_read(filters):
+        r = ChunkStoreReader(store, schema)
+        if filters:
+            r.pushFilters(filters)
+        return sum(
+            b.num_rows for f in files for b in r.read(InputPartition(f))
+        )
+
+    total = rows_read([])
+    assert total == 100000
+    ranged = rows_read(
+        [GreaterThanOrEqual(("id",), 5000), LessThan(("id",), 7000)]
+    )
+    assert ranged <= 3 * 2048  # only the overlapping pages decode
+    assert rows_read([EqualTo(("cat",), "cat-nope")]) == 0  # dict probe
+    assert rows_read([In(("cat",), ("cat-1", "cat-nope"))]) == total
+    # unknown/unsupported predicate shapes must be ignored, not crash
+    assert rows_read([StringStartsWith(("cat",), "cat-")]) == total
+
+
+def test_unique_file_per_task(spark, tmp_path):
+    store = str(tmp_path / "store")
+    spark.range(1000).repartition(5).write.format("pysparkenc").mode("append").save(store)
+    files = _list_chunk_files(store)
+    assert len(files) == 5
+    assert len(set(os.path.basename(f) for f in files)) == 5
