@@ -51,6 +51,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualNullSafe,
     EqualTo,
     Filter,
@@ -275,7 +276,9 @@ class ChunkStoreWriter(DataSourceArrowWriter):
         for f in schema.fields:
             engine._logical_of(f)  # fail on unsupported types driver-side
 
-    def write(self, iterator: Iterator[pa.RecordBatch]) -> _FileCommit:
+    def _encode_iterator(
+        self, iterator: Iterator[pa.RecordBatch]
+    ) -> pa.Table | None:
         from pyspark import TaskContext
 
         tc = TaskContext.get()
@@ -300,13 +303,21 @@ class ChunkStoreWriter(DataSourceArrowWriter):
                     )
                 )
                 seq += 1
-        if not out:
+        return pa.Table.from_batches(out) if out else None
+
+    def write(self, iterator: Iterator[pa.RecordBatch]) -> _FileCommit:
+        from pyspark import TaskContext
+
+        table = self._encode_iterator(iterator)
+        if table is None:
             return _FileCommit(())
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
         os.makedirs(_chunk_dir(self.path), exist_ok=True)
         fname = os.path.join(
             _chunk_dir(self.path), f"part-{pid:05d}-{uuid.uuid4().hex}.parquet"
         )
-        pq.write_table(pa.Table.from_batches(out), fname)
+        pq.write_table(table, fname)
         return _FileCommit((fname,))
 
     def commit(self, messages):
@@ -322,6 +333,72 @@ class ChunkStoreWriter(DataSourceArrowWriter):
             )
 
     def abort(self, messages):
+        for m in messages:
+            if m is None:
+                continue
+            for f in m.files:
+                if os.path.exists(f):
+                    os.remove(f)
+
+
+class ChunkStoreStreamWriter(ChunkStoreWriter, DataSourceStreamArrowWriter):
+    """Structured-Streaming sink: ``df.writeStream.format("pysparkenc")``.
+
+    Exactly-once without a transaction log: tasks stage uniquely-named
+    files under ``_staging/``; the driver's per-batch ``commit`` renames
+    them onto DETERMINISTIC targets ``chunks/stream-b<batch>-<i>.parquet``
+    with ``os.replace``. A replayed batch (crash anywhere between write
+    and checkpoint advance) re-stages and re-replaces the *same* targets,
+    so every (batch, slot) lands exactly once — the same idempotence
+    scheme as :mod:`pysparkenc.lineage` keyed by batch_id, pushed down to
+    the file layer. Rows of a replayed batch are assumed to land in the
+    same task order (Spark replays a batch from the same checkpointed
+    offsets and plan).
+    """
+
+    def _staging_dir(self) -> str:
+        return os.path.join(self.path, "_staging")
+
+    def write(self, iterator: Iterator[pa.RecordBatch]) -> _FileCommit:
+        table = self._encode_iterator(iterator)
+        if table is None:
+            return _FileCommit(())
+        os.makedirs(self._staging_dir(), exist_ok=True)
+        fname = os.path.join(
+            self._staging_dir(), f"stage-{uuid.uuid4().hex}.parquet"
+        )
+        pq.write_table(table, fname)
+        return _FileCommit((fname,))
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        os.makedirs(_chunk_dir(self.path), exist_ok=True)
+        staged = [f for m in messages if m for f in m.files]
+        for i, f in enumerate(sorted(staged)):
+            target = os.path.join(
+                _chunk_dir(self.path),
+                f"stream-b{batchId:012d}-{i:05d}.parquet",
+            )
+            os.replace(f, target)
+        # a prior attempt of this batch may have committed MORE slots
+        # (replay with fewer tasks): clear any leftover higher slots
+        i = len(staged)
+        while True:
+            leftover = os.path.join(
+                _chunk_dir(self.path),
+                f"stream-b{batchId:012d}-{i:05d}.parquet",
+            )
+            if not os.path.exists(leftover):
+                break
+            os.remove(leftover)
+            i += 1
+        if not os.path.exists(_schema_path(self.path)):
+            with open(_schema_path(self.path), "w") as fh:
+                json.dump(
+                    {"version": FORMAT_VERSION, "schema": self.schema_json},
+                    fh,
+                )
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
         for m in messages:
             if m is None:
                 continue
@@ -366,6 +443,13 @@ class ChunkStoreDataSource(DataSource):
                     f"{existing.simpleString()} vs {schema.simpleString()}"
                 )
         return ChunkStoreWriter(path, schema, dict(self.options), overwrite)
+
+    def streamWriter(  # noqa: N802 (Spark API name)
+        self, schema: StructType, overwrite: bool
+    ) -> ChunkStoreStreamWriter:
+        return ChunkStoreStreamWriter(
+            self._path(), schema, dict(self.options), overwrite
+        )
 
 
 def register(spark) -> None:

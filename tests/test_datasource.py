@@ -139,3 +139,60 @@ def test_unique_file_per_task(spark, tmp_path):
     files = _list_chunk_files(store)
     assert len(files) == 5
     assert len(set(os.path.basename(f) for f in files)) == 5
+
+
+def test_stream_write_availablenow(spark, tmp_path):
+    src, store, ckpt = (str(tmp_path / x) for x in ("src", "store", "ckpt"))
+    spark.sql(
+        "SELECT id, concat('n-', id) AS name FROM range(2000)"
+    ).repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    q = (
+        spark.readStream.schema(schema).parquet(src)
+        .writeStream.format("pysparkenc")
+        .option("path", store)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = spark.read.format("pysparkenc").load(store)
+    o = {r["id"]: r["name"] for r in spark.read.parquet(src).collect()}
+    b = {r["id"]: r["name"] for r in back.collect()}
+    assert b == o
+    staging = tmp_path / "store" / "_staging"
+    assert not staging.exists() or not any(staging.iterdir())
+
+
+def test_stream_commit_is_replay_idempotent(spark, tmp_path):
+    """A replayed batch (same batchId) must replace, not duplicate, its
+    files — including clearing leftover slots from a wider prior attempt."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pysparkenc.datasource import ChunkStoreStreamWriter, _FileCommit
+
+    store = str(tmp_path / "store")
+    schema = spark.range(1).schema
+    w = ChunkStoreStreamWriter(store, schema, {}, False)
+    chunks = tmp_path / "store" / "chunks"
+    staging = tmp_path / "store" / "_staging"
+    staging.mkdir(parents=True)
+
+    def stage(n):
+        msgs = []
+        for i in range(n):
+            f = str(staging / f"stage-{i}.parquet")
+            pq.write_table(pa.table({"x": [i]}), f)
+            msgs.append(_FileCommit((f,)))
+        return msgs
+
+    w.commit(stage(3), batchId=7)
+    assert len(list(chunks.iterdir())) == 3
+    # replay with fewer tasks: slots shrink to 2, the stale third is gone
+    w.commit(stage(2), batchId=7)
+    names = sorted(p.name for p in chunks.iterdir())
+    assert names == [
+        "stream-b000000000007-00000.parquet",
+        "stream-b000000000007-00001.parquet",
+    ]
