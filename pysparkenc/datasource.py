@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from collections.abc import Iterator, Sequence
 from dataclasses import dataclass
@@ -52,6 +53,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     EqualNullSafe,
     EqualTo,
     Filter,
@@ -273,6 +275,7 @@ class ChunkStoreWriter(DataSourceArrowWriter):
         self.target_chunk_bytes = int(tcb) if tcb else None
         # captured at job start (driver): the files an overwrite replaces
         self.previous_files = tuple(_list_chunk_files(path))
+        self.job_millis = int(time.time() * 1000)
         for f in schema.fields:
             engine._logical_of(f)  # fail on unsupported types driver-side
 
@@ -314,8 +317,12 @@ class ChunkStoreWriter(DataSourceArrowWriter):
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else 0
         os.makedirs(_chunk_dir(self.path), exist_ok=True)
+        # job-millis prefix keeps append file names monotone across jobs
+        # (same driver), so a streaming tail's name watermark never skips
+        # a later append; uuid suffix keeps concurrent tasks collision-free
         fname = os.path.join(
-            _chunk_dir(self.path), f"part-{pid:05d}-{uuid.uuid4().hex}.parquet"
+            _chunk_dir(self.path),
+            f"part-{self.job_millis:013d}-{pid:05d}-{uuid.uuid4().hex}.parquet",
         )
         pq.write_table(table, fname)
         return _FileCommit((fname,))
@@ -339,6 +346,73 @@ class ChunkStoreWriter(DataSourceArrowWriter):
             for f in m.files:
                 if os.path.exists(f):
                     os.remove(f)
+
+
+class ChunkStoreStreamReader(DataSourceStreamReader):
+    """Structured-Streaming source: ``spark.readStream.format("pysparkenc")``.
+
+    Incremental tailing of a chunk store. File names are the offset
+    domain: both writers emit names that only ever *grow* the sorted
+    file list at the end for their own stream (``stream-b<batch>-…`` is
+    monotone in batch id), and chunk files are immutable once visible,
+    so an offset is simply the high-water file name. Each micro-batch
+    reads the files in ``(start, end]`` — one input partition per file,
+    decoded executor-side with the same group decoder as the batch
+    reader. Batch-written ``part-…`` files carry a job-millis prefix, so
+    successive appends from one driver also sort above the watermark.
+    Don't mix writer kinds on a tailed store: ``part-`` names always
+    sort below ``stream-`` names, so a batch append to a store already
+    fed by the streaming sink would land under the high-water mark and
+    be skipped.
+    """
+
+    def __init__(self, path: str, schema: StructType):
+        self.path = path
+        self.user_schema = schema
+
+    def initialOffset(self) -> dict:  # noqa: N802 (Spark API name)
+        return {"hwm": ""}
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        files = _list_chunk_files(self.path)
+        hwm = os.path.basename(files[-1]) if files else ""
+        return {"hwm": hwm}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start.get("hwm", ""), end.get("hwm", "")
+        files = [
+            f
+            for f in _list_chunk_files(self.path)
+            if lo < os.path.basename(f) <= hi
+        ]
+        return [InputPartition(f) for f in files] or [InputPartition(None)]
+
+    def read(self, partition: InputPartition):
+        if partition.value is None:
+            return
+        schema = self.user_schema
+        allowed: set[str] = set()
+        for f in schema.fields:
+            allowed |= engine._subtree_chunk_names(f.name, f.dataType)
+        table = pq.read_table(
+            partition.value, filters=[("col", "in", sorted(allowed))]
+        )
+        if table.num_rows == 0:
+            return
+        decode_pages = engine._group_decoder(schema)
+        pid = table.column("part_id").to_numpy()
+        cid = table.column("chunk_id").to_numpy()
+        order = np.lexsort((cid, pid))
+        table = table.take(pa.array(order))
+        pid = pid[order]
+        part_starts = np.concatenate(
+            [[0], np.flatnonzero(np.diff(pid)) + 1, [pid.size]]
+        )
+        for s, e in zip(part_starts[:-1], part_starts[1:]):
+            yield from decode_pages(table.slice(int(s), int(e - s))).to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the query checkpoint; nothing to clean up
 
 
 class ChunkStoreStreamWriter(ChunkStoreWriter, DataSourceStreamArrowWriter):
@@ -431,6 +505,11 @@ class ChunkStoreDataSource(DataSource):
 
     def reader(self, schema: StructType) -> ChunkStoreReader:
         return ChunkStoreReader(self._path(), schema)
+
+    def streamReader(  # noqa: N802 (Spark API name)
+        self, schema: StructType
+    ) -> ChunkStoreStreamReader:
+        return ChunkStoreStreamReader(self._path(), schema)
 
     def writer(self, schema: StructType, overwrite: bool) -> ChunkStoreWriter:
         path = self._path()

@@ -196,3 +196,37 @@ def test_stream_commit_is_replay_idempotent(spark, tmp_path):
         "stream-b000000000007-00000.parquet",
         "stream-b000000000007-00001.parquet",
     ]
+
+
+def test_stream_read_tails_appends(spark, tmp_path):
+    """readStream over a chunk store: first micro-batch picks up the
+    snapshot, later appends arrive in the next availableNow pass."""
+    store, out, ckpt = (str(tmp_path / x) for x in ("store", "out", "ckpt"))
+    spark.sql(
+        "SELECT id, concat('n-', id) AS name FROM range(1000)"
+    ).repartition(2).write.format("pysparkenc").mode("overwrite").save(store)
+
+    def drain():
+        q = (
+            spark.readStream.format("pysparkenc").load(store)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert spark.read.parquet(out).count() == 1000
+    spark.sql(
+        "SELECT id, concat('n-', id) AS name FROM range(1000, 1500)"
+    ).coalesce(1).write.format("pysparkenc").mode("append").save(store)
+    drain()
+    got = spark.read.parquet(out)
+    o = {
+        r["id"]: r["name"]
+        for r in spark.read.format("pysparkenc").load(store).collect()
+    }
+    b = {r["id"]: r["name"] for r in got.collect()}
+    assert b == o
