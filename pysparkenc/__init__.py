@@ -10,3 +10,7 @@ lineage with checkpoint resume, and salted/range skew-aware partitioning.
 """
 
 __version__ = "0.1.0"
+
+from .caching import release  # noqa: E402  (public cache-release hook)
+
+__all__ = ["release"]

@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .caching import tether
 from .textops import MERSENNE31, portable_hash60, words
 
 # deterministic affine-permutation constants for MinHash: k pairs (a, b)
@@ -136,7 +137,7 @@ def minhash_lsh_pairs(
     ).select("doc_id", "band", "key")
     left = pruned.alias("l")
     right = pruned.alias("r")
-    return (
+    pairs = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -146,6 +147,9 @@ def minhash_lsh_pairs(
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .distinct()
     )
+    # the band cache is freed when `pairs` is dropped (caching.release
+    # for a deterministic trigger) — long sessions don't accumulate it
+    return tether(pairs, exploded)
 
 
 def ngram_jaccard_pairs(
@@ -269,9 +273,9 @@ def simhash_dup_pairs(
     ).select("doc_id", "simhash", "bk.band", "bk.key")
     # persist: the fingerprint pipeline otherwise re-runs for the count
     # aggregate and for each self-join side (4x the simhash cost)
-    expl = expl.persist(StorageLevel.MEMORY_AND_DISK)
-    counts = expl.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bucket_n"))
-    expl = expl.join(
+    cached = expl.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = cached.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bucket_n"))
+    expl = cached.join(
         counts.where(F.col("bucket_n") <= max_bucket), ["band", "key"]
     ).select("doc_id", "simhash", "band", "key")
     l, r = expl.alias("l"), expl.alias("r")
@@ -292,6 +296,7 @@ def simhash_dup_pairs(
     )
     xor = F.col("sim_a").bitwiseXOR(F.col("sim_b"))
     ham = F.bit_count(xor)
-    return cand.select("doc_a", "doc_b", ham.cast("long").alias("hamming")).where(
-        F.col("hamming") <= max_hamming
-    )
+    pairs = cand.select(
+        "doc_a", "doc_b", ham.cast("long").alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)
+    return tether(pairs, cached)

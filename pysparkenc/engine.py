@@ -368,11 +368,14 @@ def plan_partitions(
     )
     # eqNullSafe: a nullable leading key still gets its bucket range (an
     # inner equi-join would silently drop null-key rows)
-    return (
+    from .caching import tether
+
+    planned = (
         df.join(F.broadcast(plan), F.col(key0).eqNullSafe(F.col("__k0")))
         .withColumn("part_id", (F.col("__offset") + salted).cast("long"))
         .drop("__k0", "__offset", "__buckets")
     )
+    return tether(planned, counts)
 
 
 # ---------------------------------------------------------------------------
@@ -708,7 +711,14 @@ def encode_table(
                                           compression)
                 seq += 1
 
-    return shuffled.mapInArrow(encode_iter, CHUNK_SCHEMA)
+    encoded = shuffled.mapInArrow(encode_iter, CHUNK_SCHEMA)
+    if partition_by:
+        # chain the partition-plan counts cache to the encode output's
+        # lifetime (caching.tether releases it when `encoded` is dropped)
+        from .caching import tether
+
+        encoded = tether(encoded, planned)
+    return encoded
 
 
 # ---------------------------------------------------------------------------

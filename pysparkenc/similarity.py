@@ -40,6 +40,8 @@ from collections.abc import Iterable, Iterator
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from .caching import tether
+
 
 def _dot(a: Column, b: Column) -> Column:
     # left-to-right fold in double precision — the oracle mirrors this
@@ -195,6 +197,7 @@ def embedding_near_dup_pairs(
     from pyspark import StorageLevel
 
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    keyed = None
     if exact:
         l, r = base.alias("l"), base.alias("r")
         cand = l.join(r, F.col("l.id") < F.col("r.id")).select(
@@ -232,10 +235,11 @@ def embedding_near_dup_pairs(
             .distinct()
         )
     cos_e6 = F.floor(F.lit(1_000_000) * cosine(F.col("va"), F.col("vb"))).cast("long")
-    return (
+    pairs = (
         cand.select("id_a", "id_b", cos_e6.alias("cos_e6"))
         .where(F.col("cos_e6") >= int(threshold * 1_000_000))
     )
+    return pairs if keyed is None else tether(pairs, keyed)
 
 
 def _hyperplanes(planes: int, dim: int, table: int = 0) -> list[list[int]]:
