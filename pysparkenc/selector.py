@@ -182,8 +182,21 @@ def select_bytes(offsets: np.ndarray, data: bytes) -> Choice:
     # FSST training is the selector's priciest probe (the estimate
     # itself trains on a 512-row internal sample); skip it when an
     # earlier candidate already beats FSST's practical floor (~35% of
-    # plain — symbol codes are >=1 byte per ~2.9 input bytes on text)
-    if avg_len <= 256 and best_so_far > 0.35 * sizes["ba_plain"]:
+    # plain — symbol codes are >=1 byte per ~2.9 input bytes on text).
+    # Also skip non-text payloads: every byte >= 0x80 costs a 2-byte
+    # escape, so dense high-bit data (random binary, decimal128/UUID
+    # FLBA payloads) can only expand — a 64 KiB-sample high-bit ratio
+    # over 25% rules FSST out in microseconds instead of training on it
+    if len(s_data):
+        probe = np.frombuffer(s_data[:65536], dtype=np.uint8)
+        high_bit_frac = float((probe >= 128).mean())
+    else:
+        high_bit_frac = 0.0
+    if (
+        avg_len <= 256
+        and best_so_far > 0.35 * sizes["ba_plain"]
+        and high_bit_frac <= 0.25
+    ):
         est, fsst_symbols = fsst_encoded_size_estimate(offsets, data)
         sizes["fsst"] = est
 

@@ -91,3 +91,31 @@ def test_flba_nullable_through_engine(spark):
         for r in df.collect()
     }
     assert got == want
+
+
+def test_selector_skips_fsst_training_on_high_bit_binary():
+    # dense high-bit payloads (decimal128/UUID FLBA, random binary) can
+    # only expand under FSST's escape coding — the selector must rule it
+    # out from a byte-histogram probe, not pay for symbol training
+    rng = np.random.RandomState(0)
+    vals = rng.randint(1, 10**7, 2048).astype(np.int64) * 10**16
+    words = np.zeros((2048, 16), dtype=np.uint8)
+    for i, v in enumerate(vals.tolist()):
+        words[i] = np.frombuffer(
+            int(v).to_bytes(16, "little", signed=True), dtype=np.uint8
+        )
+    off = np.arange(2049, dtype=np.int64) * 16
+    choice = select_bytes(off, words.tobytes())
+    assert "fsst" not in choice.sizes
+    # ...while shuffled ASCII text with no shared prefix still probes it
+    import random
+
+    random.seed(1)
+    w = ["query", "scan", "slow", "sort", "value", "alpha", "beta", "join"]
+    texts = [
+        (" ".join(random.choices(w, k=12)) + f" {random.randint(0, 10**9)}").encode()
+        for _ in range(2048)
+    ]
+    off2, data2 = _offsets(texts)
+    choice2 = select_bytes(off2, data2)
+    assert choice2.codec == "fsst"
