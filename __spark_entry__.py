@@ -636,6 +636,33 @@ def q_pruned_isin_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pruned_bloom_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-block bloom-filter pushdown (kernels/bloom.py — the SBBF
+    the reference's thrift metadata models, parquet/parquet.go:4953-5024,
+    with no writer to build it): doc_id is high-cardinality, so after the
+    salted (source, doc_id) shuffle every chunk's [min,max] spans nearly
+    the whole key space and stats prune nothing — the per-chunk bloom
+    answers the IN-probe from ~1 byte/value of metadata, skipping chunk
+    groups before any payload decode. Probes mix present keys with an
+    out-of-range absent one; tests/test_bloom.py pins the skip counts,
+    this query pins exactness under the value-hash gate."""
+    from pysparkenc.caching import tether
+    from pysparkenc.engine import decode_table_where_isin
+
+    df = _read(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    # persist: prune probe + decode are two branches over one relation
+    chunks = encode_table(
+        df, partition_by=("source", "doc_id"), bloom=["doc_id"]
+    ).persist()
+    probe = [3, 17, 23, 170, 171, 999_999_999]
+    out = decode_table_where_isin(chunks, df.schema, "doc_id", probe)
+    return tether(
+        out.select("doc_id", "lang", "source", "n_chars"), chunks
+    )
+
+
 def q_footer_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _read(spark, sf_dir, "lineitem").select(*_LINEITEM_NUM_COLS)
     meta = footer(encode_table(df))
@@ -999,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pruned_string_scan": q_pruned_string_scan,
         "pruned_dict_scan": q_pruned_dict_scan,
         "pruned_isin_scan": q_pruned_isin_scan,
+        "pruned_bloom_scan": q_pruned_bloom_scan,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
@@ -1198,6 +1226,10 @@ FROM t JOIN w USING (doc_id)
             "SELECT lang, source, count(*)::BIGINT AS n_docs, "
             "sum(n_chars)::BIGINT AS sum_chars "
             "FROM documents WHERE lang IN ('de', 'fr') GROUP BY lang, source"
+        ),
+        "pruned_bloom_scan": (
+            "SELECT doc_id, lang, source, n_chars FROM documents "
+            "WHERE doc_id IN (3, 17, 23, 170, 171, 999999999)"
         ),
         "dedup_exact": (
             "SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, "

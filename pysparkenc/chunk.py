@@ -109,6 +109,10 @@ class EncodedChunk:
     extra: str
     data: bytes
     aux: bytes
+    # optional split-block bloom filter over the chunk's non-null values
+    # (kernels/bloom.py) — index metadata, not payload: excluded from
+    # enc_bytes the way parquet stores blooms outside the column chunk
+    bloom: bytes = b""
 
 
 def _stats_numeric(values: np.ndarray) -> tuple[float | None, float | None]:
@@ -139,7 +143,7 @@ def _stats_numeric(values: np.ndarray) -> tuple[float | None, float | None]:
 
 def encode_numeric(
     col: str, values: np.ndarray, dtype: str, codec: str | None = None,
-    compression: str | None = None,
+    compression: str | None = None, bloom_fpp: float | None = None,
 ) -> EncodedChunk:
     n = values.size
     choice: Choice | None = None
@@ -185,12 +189,18 @@ def encode_numeric(
         raise ValueError(f"unknown numeric codec {codec}")
 
     vmin_f, vmax_f = _stats_numeric(values)
+    bloom = b""
+    if bloom_fpp is not None and n:
+        from .kernels.bloom import bloom_build, hash_numeric
+
+        ndv = n_unique if n_unique >= 0 else n
+        bloom = bloom_build(hash_numeric(values, dtype), ndv, bloom_fpp)
     return EncodedChunk(
         col=col, codec=codec, dtype=dtype, n_values=n, null_count=0,
         n_unique=n_unique, bit_width=bit_width, plain_bytes=plain_bytes,
         enc_bytes=len(data) + len(aux), num_min=vmin_f, num_max=vmax_f,
         crc32=zlib.crc32(data), extra=json.dumps(extra) if extra else "",
-        data=data, aux=aux,
+        data=data, aux=aux, bloom=bloom,
     )
 
 
@@ -214,7 +224,7 @@ def encode_bool(col: str, values: np.ndarray, codec: str | None = None) -> Encod
 
 def encode_bytes(
     col: str, offsets: np.ndarray, data_buf: bytes, codec: str | None = None,
-    *, logical: str = "bytes",
+    *, logical: str = "bytes", bloom_fpp: float | None = None,
 ) -> EncodedChunk:
     n = offsets.size - 1
     choice: Choice | None = None
@@ -257,12 +267,18 @@ def encode_bytes(
     else:
         raise ValueError(f"unknown byte-array codec {codec}")
 
+    bloom = b""
+    if bloom_fpp is not None and n:
+        from .kernels.bloom import bloom_build, hash_bytes
+
+        ndv = n_unique if n_unique >= 0 else n
+        bloom = bloom_build(hash_bytes(offsets, data_buf), ndv, bloom_fpp)
     return EncodedChunk(
         col=col, codec=codec, dtype=logical, n_values=n, null_count=0,
         n_unique=n_unique, bit_width=0, plain_bytes=plain_bytes,
         enc_bytes=len(data) + len(aux), num_min=None, num_max=None,
         crc32=zlib.crc32(data), extra=json.dumps(extra) if extra else "",
-        data=data, aux=aux,
+        data=data, aux=aux, bloom=bloom,
     )
 
 

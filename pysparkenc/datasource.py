@@ -170,13 +170,20 @@ def _group_passes(meta_rows: dict[str, dict], p: _Pushed) -> bool:
         vals = list(p.values)
         is_bytes = isinstance(vals[0], (str, bytes))
         svals = {v if isinstance(v, bytes) else str(v).encode() for v in vals}
+        nvals = None if is_bytes else np.asarray(sorted(vals))
+        hbytes, hints = engine._bloom_probe_hashes(
+            svals if is_bytes else None, nvals
+        )
         return engine._chunk_passes_isin(
             d["codec"], d["dtype"], d["n_unique"], d["num_min"], d["num_max"],
             extra, d["aux"],
             svals=svals,
             strs=sorted(s.decode(errors="replace") for s in svals),
             fvals=None if is_bytes else np.array(sorted(vals), np.float64),
-            nvals=None if is_bytes else np.asarray(sorted(vals)),
+            nvals=nvals,
+            logical=d.get("logical"),
+            bloom=d.get("bloom"),
+            hbytes=hbytes, hints=hints,
         )
     return engine._chunk_passes_range(
         d["num_min"], d["num_max"], extra, p.lo, p.hi
@@ -229,10 +236,14 @@ class ChunkStoreReader(DataSourceReader):
         # page-group pruning against the pushed predicates
         keep_slices = []
         if self.pushed:
+            wanted = ["col", "codec", "dtype", "logical", "n_rows",
+                      "null_count", "n_unique", "num_min", "num_max",
+                      "extra", "aux", "bloom"]
+            present = set(table.schema.names)
             cols = {
-                c: table.column(c).to_pylist()
-                for c in ("col", "codec", "dtype", "n_rows", "null_count",
-                          "n_unique", "num_min", "num_max", "extra", "aux")
+                c: (table.column(c).to_pylist() if c in present
+                    else [None] * table.num_rows)  # pre-bloom stores
+                for c in wanted
             }
         for s, e in zip(group_starts[:-1], group_starts[1:]):
             if self.pushed:
@@ -273,6 +284,13 @@ class ChunkStoreWriter(DataSourceArrowWriter):
         self.rows_per_chunk = int(options.get("rows_per_chunk", "4096"))
         tcb = options.get("target_chunk_bytes")
         self.target_chunk_bytes = int(tcb) if tcb else None
+        # .option("bloom", "doc_id,source") — per-chunk SBBF on those
+        # columns; .option("bloom_fpp", "0.005") tunes the target rate
+        bloom_opt = options.get("bloom") or ""
+        fpp = float(options.get("bloom_fpp", "0.01"))
+        self.bloom_for: dict[str, float] = {
+            c.strip(): fpp for c in bloom_opt.split(",") if c.strip()
+        }
         # captured at job start (driver): the files an overwrite replaces
         self.previous_files = tuple(_list_chunk_files(path))
         self.job_millis = int(time.time() * 1000)
@@ -303,6 +321,7 @@ class ChunkStoreWriter(DataSourceArrowWriter):
                     engine._encode_arrow_batch(
                         sub, self.fields, pid, seq, None,
                         self.codec_for, self.default_codec, self.compression,
+                        self.bloom_for,
                     )
                 )
                 seq += 1

@@ -99,6 +99,7 @@ CHUNK_SCHEMA = StructType(
         StructField("extra", StringType(), True),
         StructField("data", BinaryType(), False),
         StructField("aux", BinaryType(), True),
+        StructField("bloom", BinaryType(), True),
     ]
 )
 
@@ -125,6 +126,7 @@ _CHUNK_PA_SCHEMA = pa.schema(
         ("extra", pa.string()),
         ("data", pa.binary()),
         ("aux", pa.binary()),
+        ("bloom", pa.binary()),
     ]
 )
 
@@ -388,10 +390,12 @@ def _encode_scalar_chunk(
     logical: str,
     codec: str | None,
     compression: str | None,
+    bloom_fpp: float | None = None,
 ) -> chunklib.EncodedChunk:
     """Encode a flat, already null-compacted scalar Arrow array — shared
     by top-level columns, struct leaves, list elements, and map
-    keys/values."""
+    keys/values. ``bloom_fpp`` attaches a split-block bloom filter over
+    the chunk's values (kernels/bloom.py) for equality/IN pruning."""
     if (phys := _phys_of(logical)) is not None:
         if logical.startswith("decimal("):
             values = _decimal_to_int64(arr)
@@ -403,14 +407,16 @@ def _encode_scalar_chunk(
         else:
             values = arr.to_numpy(zero_copy_only=False)
         return chunklib.encode_numeric(name, values, phys, codec,
-                                       compression=compression)
+                                       compression=compression,
+                                       bloom_fpp=bloom_fpp)
     if logical.startswith("decimal("):
         # DECIMAL(18 < p <= 38): 16-byte FLBA payloads through the
         # fixed-width byte path (the selector picks ba_fixed — zero
         # offset overhead — or dict_rle on heavy duplication)
         data_buf = _decimal_to_fixed(arr)
         offsets = np.arange(len(arr) + 1, dtype=np.int64) * 16
-        return chunklib.encode_bytes(name, offsets, data_buf, codec)
+        return chunklib.encode_bytes(name, offsets, data_buf, codec,
+                                     bloom_fpp=bloom_fpp)
     if logical == "bool":
         values = arr.to_numpy(zero_copy_only=False)
         return chunklib.encode_bool(name, values, codec)
@@ -427,7 +433,8 @@ def _encode_scalar_chunk(
         else:
             data_buf = b""
         offsets = offsets - offsets[0]
-        ck = chunklib.encode_bytes(name, offsets, data_buf, codec)
+        ck = chunklib.encode_bytes(name, offsets, data_buf, codec,
+                                   bloom_fpp=bloom_fpp)
         if logical == "string" and len(arr):
             _attach_string_stats(ck, arr)
         return ck
@@ -467,6 +474,7 @@ def _encode_arrow_batch(
     codec_for: dict[str, str],
     default_codec: str | None = None,
     compression: str | None = None,
+    bloom_for: dict[str, float] | None = None,
 ) -> pa.RecordBatch:
     """Shred one Arrow batch into chunk rows by recursive descent over the
     schema tree — the flat-chunk collapse of the reference's rep/def-level
@@ -553,7 +561,10 @@ def _encode_arrow_batch(
                 rec(f"{path}#item", arr.values.slice(lo, span),
                     dt.elementType, None, inherited)
             return
-        ck = _encode_scalar_chunk(path, arr, logical, inherited, compression)
+        ck = _encode_scalar_chunk(
+            path, arr, logical, inherited, compression,
+            bloom_fpp=(bloom_for or {}).get(path),
+        )
         ck.null_count = null_count
         emit(ck, idx, logical)
 
@@ -600,6 +611,7 @@ def _chunk_row(
         "extra": ck.extra,
         "data": ck.data,
         "aux": ck.aux,
+        "bloom": ck.bloom or None,
     }
 
 
@@ -613,8 +625,18 @@ def encode_table(
     compression: str | None = None,
     rows_per_chunk: int | None = 4096,
     target_chunk_bytes: int | None = None,
+    bloom: Iterable[str] | dict[str, float] | None = None,
 ) -> DataFrame:
     """Encode every column of ``df`` into chunk rows (CHUNK_SCHEMA).
+
+    ``bloom``: chunk paths (same addressing as ``codec`` dict keys —
+    ``"doc_id"``, ``"spans#item.label"``) to cover with a per-chunk
+    split-block bloom filter, or a dict path -> target FPP (default
+    0.01). Blooms make equality/IN pruning (:func:`prune_chunks_isin`)
+    decisive on high-cardinality columns where min/max stats span the
+    key space and no dict page exists — opt-in, like parquet's
+    ``bloom_filter_enabled`` writer property (the reference ships the
+    thrift for it, parquet/parquet.go:4953-5024, but no writer).
 
     ``codec``: None = auto-select per chunk (SURVEY.md §7.3); a string
     forces one codec for every scalar value chunk; a dict maps chunk
@@ -651,6 +673,10 @@ def encode_table(
     else:
         codec_for = dict(codec or {})
         default_codec = None
+    if isinstance(bloom, dict):
+        bloom_for: dict[str, float] = {k: float(v) for k, v in bloom.items()}
+    else:
+        bloom_for = {p: 0.01 for p in (bloom or ())}
 
     if group_key_col is None and partition_by:
         group_key_col = partition_by[0]
@@ -708,7 +734,7 @@ def encode_table(
                 sub = batch.slice(start, step)
                 yield _encode_arrow_batch(sub, fields, pid, seq, gk,
                                           codec_for, default_codec,
-                                          compression)
+                                          compression, bloom_for)
                 seq += 1
 
     encoded = shuffled.mapInArrow(encode_iter, CHUNK_SCHEMA)
@@ -933,7 +959,20 @@ def _group_decoder(schema: StructType):
                  "n_unique", "bit_width", "crc32", "extra")
 
     def decode_one_group(by_col: dict[str, dict], n_rows: int) -> pa.Table:
+        def present(path: str, dt) -> bool:
+            if isinstance(dt, StructType):
+                return f"{path}#def" in by_col or any(
+                    present(f"{path}.{f.name}", f.dataType) for f in dt.fields
+                )
+            return path in by_col
+
         def build(path: str, dt, n_slots: int) -> pa.Array:
+            if not present(path, dt):
+                # schema evolution: this chunk group predates the column
+                # (an appended store whose later batches added it) — the
+                # reader contract matches parquet/iceberg: absent columns
+                # read as typed nulls. Declare evolved columns nullable.
+                return pa.nulls(n_slots, type=_arrow_full_type(dt, path))
             if isinstance(dt, StructType):
                 defck = by_col.get(f"{path}#def")
                 if defck is not None:
@@ -1039,7 +1078,13 @@ def _group_decoder(schema: StructType):
             for j in order[s:e]:
                 j = int(j)
                 d = {c: metas[c][j] for c in meta_cols}
-                d["data"] = memoryview(data_arr[j].as_buffer())
+                # data is null for schema-evolution anchor chunks (kept
+                # only to carry n_rows; never decoded)
+                d["data"] = (
+                    memoryview(data_arr[j].as_buffer())
+                    if data_arr[j].is_valid
+                    else None
+                )
                 d["aux"] = (
                     memoryview(aux_arr[j].as_buffer())
                     if aux_arr[j].is_valid
@@ -1084,7 +1129,17 @@ def decode_table(
     allowed: set[str] = set()
     for f in schema.fields:
         allowed |= _subtree_chunk_names(f.name, f.dataType)
-    chunks_df = chunks_df.where(F.col("col").isin(sorted(allowed)))
+    requested = F.col("col").isin(sorted(allowed))
+    # schema-evolution anchor: a group written before EVERY requested
+    # column existed (appended store, later batches added the column)
+    # must still decode — as all-null rows — so it needs one chunk to
+    # carry its row count. col_idx 0 exists in every group; its payload
+    # is nulled out right here so the anchor costs metadata, not bytes,
+    # through the shuffle (and nothing at all when it is also requested).
+    chunks_df = chunks_df.where(requested | (F.col("col_idx") == 0))
+    chunks_df = chunks_df.withColumn(
+        "data", F.when(requested, F.col("data"))
+    ).withColumn("aux", F.when(requested, F.col("aux")))
     decode_pages = _group_decoder(schema)
 
     grouped = chunks_df.withColumn(
@@ -1160,6 +1215,24 @@ def prune_chunks(
                           "left_semi")
 
 
+def _bloom_probe_hashes(svals, nvals):
+    """Precomputed uint64 probe hashes for bloom consults: ``hbytes``
+    over the encoded byte probes, ``hints`` over integer probes (only
+    when the probe array is exactly integer-typed — a float probe like
+    5.0 must not alias the int key space)."""
+    from .kernels.bloom import hash_bytes, hash_numeric
+
+    hbytes = hints = None
+    if svals:
+        vals = sorted(svals)
+        off = np.zeros(len(vals) + 1, dtype=np.int64)
+        np.cumsum([len(v) for v in vals], out=off[1:])
+        hbytes = hash_bytes(off, b"".join(vals))
+    if nvals is not None and np.asarray(nvals).dtype.kind in "iu":
+        hints = hash_numeric(np.asarray(nvals, dtype=np.int64), "int64")
+    return hbytes, hints
+
+
 def _chunk_passes_isin(
     codec: str,
     dtype: str,
@@ -1173,6 +1246,10 @@ def _chunk_passes_isin(
     strs: list,
     fvals,
     nvals=None,
+    logical=None,
+    bloom=None,
+    hbytes=None,
+    hints=None,
 ) -> bool:
     """Single-chunk IN-list probe shared by :func:`prune_chunks_isin`
     (executor-side over footer batches) and the ``pysparkenc`` data
@@ -1181,9 +1258,32 @@ def _chunk_passes_isin(
     encoded byte set, ``strs`` = sorted decoded strings); ``nvals``
     keeps the probe values in their exact dtype for the dict-page
     membership test (int64 beyond 2^53 must not round). Missing stats
-    keep the chunk — pruning must never drop rows it can't bound."""
+    keep the chunk — pruning must never drop rows it can't bound.
+
+    ``bloom`` (+ precomputed probe hashes ``hbytes``/``hints`` and the
+    chunk's ``logical`` type) consults the chunk's split-block bloom
+    filter first: a bloom miss is DEFINITIVE absence regardless of what
+    stats say; a bloom hit (possible false positive) falls through to
+    the dict/stat tests which can still prune. The bloom is only
+    trusted when the probe domain provably matches the hashed domain —
+    byte probes against string/binary chunks, integer probes against
+    int chunks; anything else (floats, decimals, cross-typed probes)
+    ignores it rather than risk a false prune."""
     from . import compress as blockcomp
     from .kernels.dictenc import dict_page_decode_bytes, dict_page_decode_numeric
+
+    if bloom is not None and len(bloom):
+        from .kernels.bloom import bloom_check
+
+        probe_h = None
+        if fvals is None and logical in ("string", "binary"):
+            probe_h = hbytes
+        elif fvals is not None and logical in ("int32", "int64"):
+            probe_h = hints
+        if probe_h is not None and not bool(
+            bloom_check(bytes(bloom), probe_h).any()
+        ):
+            return False
 
     if codec == "dict_rle":
         aux = bytes(aux) if aux is not None else b""
@@ -1274,14 +1374,20 @@ def prune_chunks_isin(
     is_bytes_probe = isinstance(values[0], (str, bytes))
     if any(isinstance(v, (str, bytes)) != is_bytes_probe for v in values):
         raise TypeError("probe values must be all string/bytes or all numeric")
+    bloom_col = (
+        F.col("bloom") if "bloom" in chunks_df.columns
+        else F.lit(None).cast("binary")  # pre-bloom chunk stores
+    )
     meta = chunks_df.where(F.col("col") == col).select(
-        "part_id", "chunk_id", "codec", "dtype", "n_unique",
-        "num_min", "num_max", "extra", "aux",
+        "part_id", "chunk_id", "codec", "dtype", "logical", "n_unique",
+        "num_min", "num_max", "extra", "aux", bloom_col.alias("bloom"),
     )
     svals = {v if isinstance(v, bytes) else str(v).encode() for v in values}
     strs = sorted(s.decode(errors="replace") for s in svals)
     fvals = None if is_bytes_probe else np.array(sorted(values), dtype=np.float64)
     nvals = None if is_bytes_probe else np.asarray(sorted(values))
+    hbytes, hints = _bloom_probe_hashes(svals if is_bytes_probe else None,
+                                        nvals if not is_bytes_probe else None)
 
     def probe(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
@@ -1297,6 +1403,9 @@ def prune_chunks_isin(
                     json.loads(cols["extra"][i].as_py() or "{}"),
                     cols["aux"][i].as_py(),
                     svals=svals, strs=strs, fvals=fvals, nvals=nvals,
+                    logical=cols["logical"][i].as_py(),
+                    bloom=cols["bloom"][i].as_py(),
+                    hbytes=hbytes, hints=hints,
                 )
                 if keep:
                     keep_p.append(cols["part_id"][i].as_py())

@@ -1,0 +1,110 @@
+"""Schema evolution on decode: chunk groups written before a column
+existed read as typed nulls (the parquet/iceberg reader contract), and a
+projection of ONLY the evolved column still returns every row — old
+groups ride on a payload-free anchor chunk for their row count."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from pysparkenc.engine import decode_table, encode_table
+
+
+@pytest.fixture(scope="module")
+def evolved(spark):
+    old = spark.range(300).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("name"),
+    )
+    new = spark.range(300, 500).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("name"),
+        (F.col("id") * 2).cast("int").alias("score"),
+        F.array(F.col("id").cast("int")).alias("tags"),
+    )
+    # two independent encode jobs appended into one store: disjoint
+    # part_id ranges, exactly what lineage/datasource appends produce
+    c_old = encode_table(old, rows_per_chunk=128, partition_by=None)
+    c_new = encode_table(new, rows_per_chunk=128, partition_by=None)
+    c_new = c_new.withColumn("part_id", F.col("part_id") + 1000)
+    evolved_schema = StructType(
+        [
+            StructField("k", LongType(), False),
+            StructField("name", StringType(), False),
+            StructField("score", IntegerType(), True),
+            StructField("tags", ArrayType(IntegerType(), False), True),
+        ]
+    )
+    merged = c_old.unionByName(c_new, allowMissingColumns=True).persist()
+    merged.count()
+    yield merged, evolved_schema
+    merged.unpersist()
+
+
+def test_old_groups_read_evolved_columns_as_nulls(spark, evolved):
+    merged, schema = evolved
+    out = decode_table(merged, schema)
+    assert out.count() == 500
+    assert out.where(F.col("score").isNull()).count() == 300
+    assert out.where(F.col("tags").isNull()).count() == 300
+    # new rows carry real values
+    row = out.where(F.col("k") == 400).first()
+    assert row.score == 800 and list(row.tags) == [400]
+    # pre-existing columns are intact across both eras
+    assert out.where(F.col("name") == "v7").count() == 1
+
+
+def test_projection_of_only_evolved_column_keeps_all_rows(spark, evolved):
+    merged, schema = evolved
+    proj = StructType([StructField("score", IntegerType(), True)])
+    out = decode_table(merged, proj)
+    assert out.count() == 500  # anchor carries the 300 pre-evolution rows
+    assert out.where(F.col("score").isNull()).count() == 300
+    assert out.agg(F.sum("score")).first()[0] == sum(
+        2 * k for k in range(300, 500)
+    )
+
+
+def test_evolved_struct_subtree_reads_null(spark):
+    old = spark.range(100).select(F.col("id").alias("k"))
+    new = spark.range(100, 150).select(
+        F.col("id").alias("k"),
+        F.struct(
+            F.col("id").cast("int").alias("a"),
+            F.lit("x").alias("b"),
+        ).alias("meta"),
+    )
+    c = encode_table(old, partition_by=None).unionByName(
+        encode_table(new, partition_by=None).withColumn(
+            "part_id", F.col("part_id") + 1000
+        ),
+        allowMissingColumns=True,
+    )
+    schema = StructType(
+        [
+            StructField("k", LongType(), False),
+            StructField(
+                "meta",
+                StructType(
+                    [
+                        StructField("a", IntegerType(), True),
+                        StructField("b", StringType(), True),
+                    ]
+                ),
+                True,
+            ),
+        ]
+    )
+    out = decode_table(c, schema)
+    assert out.count() == 150
+    assert out.where(F.col("meta").isNull()).count() == 100
+    assert out.where(F.col("k") == 120).first().meta.a == 120
