@@ -197,7 +197,10 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             # don't accumulate MEMORY_AND_DISK blocks.
             spark.catalog.clearCache()
 
-    enc = encode_throughput(spark, 100_000, warmup=False)
+    # best-of-3 trials: the flagship tokens/sec is THE BASELINE.json
+    # metric — a single pass can read 20-40% low purely from a neighbor's
+    # contention window (observed 2.15M vs 1.74M tok/s across solo runs)
+    enc = encode_throughput(spark, 100_000, warmup=False, trials=3)
     timings["flagship_encode_100k_docs"] = enc["wall_sec"]
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
