@@ -183,6 +183,10 @@ def select_bytes(offsets: np.ndarray, data: bytes) -> Choice:
     # itself trains on a 512-row internal sample); skip it when an
     # earlier candidate already beats FSST's practical floor (~35% of
     # plain — symbol codes are >=1 byte per ~2.9 input bytes on text).
+    # The avg-length cap only bounds the lock-step encoder's Python-level
+    # loop (one iteration per symbol of the LONGEST string in the page,
+    # vectorized across all strings) — FSST's compression itself is
+    # length-independent, so document-sized text must stay eligible.
     # Also skip non-text payloads: every byte >= 0x80 costs a 2-byte
     # escape, so dense high-bit data (random binary, decimal128/UUID
     # FLBA payloads) can only expand — a 64 KiB-sample high-bit ratio
@@ -193,7 +197,7 @@ def select_bytes(offsets: np.ndarray, data: bytes) -> Choice:
     else:
         high_bit_frac = 0.0
     if (
-        avg_len <= 256
+        avg_len <= 4096
         and best_so_far > 0.35 * sizes["ba_plain"]
         and high_bit_frac <= 0.25
     ):

@@ -300,3 +300,22 @@ def test_fsst_handles_escape_byte_in_data():
     enc = fsst_encode(offsets, data)
     out_off, out_data = fsst_decode(enc, len(strings))
     assert out_data == data and (out_off == offsets).all()
+
+
+def test_selector_tries_fsst_on_document_length_text():
+    """Document-sized rows (~300 B, well past the old 256 B cap) must stay
+    FSST-eligible: the length cap only bounds the encoder's lock-step
+    loop, not FSST's effectiveness, and a word-based text column sees
+    ~5x while every offset/dict codec sits near 1x."""
+    from pysparkenc.selector import select_bytes
+
+    rng = np.random.default_rng(7)
+    vocab = [f"tok{i}".encode() for i in range(40)]
+    strings = [
+        b" ".join(rng.choice(vocab, size=60).tolist()) for _ in range(800)
+    ]
+    offsets, data = to_offsets(strings)
+    assert len(data) / len(strings) > 256  # the shape the old gate skipped
+    choice = select_bytes(offsets, data)
+    assert choice.codec == "fsst"
+    assert choice.predicted < 0.5 * (len(data) + 4 * len(strings))
