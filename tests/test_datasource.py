@@ -69,6 +69,32 @@ def test_filters_are_reapplied_correctly(spark, tmp_path):
     assert back.where(F.col("id").isin(5, 6, 2999, 99999)).count() == 3
 
 
+def test_repeated_group_roundtrip(spark, tmp_path):
+    """Repeated-group nesting (array<struct>, array<array>) must survive
+    the data source unchanged — the store reuses the engine's recursive
+    shredder, but the writer/reader glue slices and regroups its own
+    batches, so pin it end-to-end here too."""
+    store = str(tmp_path / "store")
+    df = spark.sql(
+        """
+        SELECT id,
+               IF(id % 5 = 0, NULL,
+                  array(named_struct('s', id, 'w', concat('w', id)),
+                        named_struct('s', id + 1,
+                                     'w', IF(id % 3 = 0, NULL, 'x')))
+               ) AS spans,
+               array(array(id, id + 1), array(), array(id * 2)) AS mat
+        FROM range(2000)
+        """
+    ).repartition(2)
+    df.write.format("pysparkenc").mode("overwrite").save(store)
+    back = spark.read.format("pysparkenc").load(store)
+    assert back.schema == df.schema
+    o = {r["id"]: r.asDict(True) for r in df.collect()}
+    b = {r["id"]: r.asDict(True) for r in back.collect()}
+    assert b == o
+
+
 def test_overwrite_replaces_previous_store(spark, tmp_path):
     store = str(tmp_path / "store")
     spark.range(100).write.format("pysparkenc").mode("overwrite").save(store)
