@@ -88,3 +88,18 @@ def test_string_column_never_much_worse(li, name):
     ours = our_bytes(name, li.column(name))
     parquet = parquet_column_size(li.column(name))
     assert ours <= parquet * 1.02 + 256
+
+
+def test_text_beats_snappy_parquet():
+    """The lightweight codecs alone (here FSST on document text, no block
+    compression) must beat *snappy-compressed* Parquet, not just
+    uncompressed — snappy finds the same word repetitions FSST does, so
+    this pins that the symbol table actually earns its keep."""
+    docs = pq.read_table(DOCUMENTS)
+    ours = our_bytes("text", docs.column("text"))
+    t = pa.table({"c": docs.column("text")})
+    buf = io.BytesIO()
+    pq.write_table(t, buf, compression="snappy", write_statistics=False)
+    assert ours < buf.getbuffer().nbytes, (
+        f"fsst {ours} >= snappy parquet {buf.getbuffer().nbytes}"
+    )
