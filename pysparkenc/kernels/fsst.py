@@ -12,11 +12,16 @@ Design (paper-faithful, simplified):
 - table trained by a few generations of "encode the sample, count adjacent
   symbol concatenations, keep the highest apparent-gain symbols".
 
-The encoder/decoder here process a whole string *column* in lock-step:
-every vector step advances one symbol in **all** strings simultaneously
-(window gather -> per-length uint64 key -> ``np.searchsorted`` against the
-sorted symbol keys), so the Python-level loop runs ``O(max_symbols_per_
-string)`` times, not ``O(total_bytes)``.
+The encoder processes a whole string *column* in lock-step: every vector
+step advances one symbol in **all** strings simultaneously (window gather
+-> per-length uint64 key -> ``np.searchsorted`` against the sorted symbol
+keys), so the Python-level loop runs ``O(max_symbols_per_string)`` times,
+not ``O(total_bytes)`` — with rows longer than ``_PIECE_LEN`` split into
+independently-encoded pieces so one huge row can't degrade the loop to
+scalar speed or blow up the padding matrix. The decoder is a single flat
+vectorized pass over the concatenated payload (escape/literal/code
+classification by position parity inside maximal 0xFF runs), with no
+Python-level loop at all.
 
 Wire format:
     <uvarint n_symbols>
@@ -146,6 +151,29 @@ def _symbol_keys(symbols: list[bytes]) -> tuple[dict[int, tuple[np.ndarray, np.n
     return by_len, sym_lens, sym_offsets, sym_data
 
 
+# rows longer than this are encoded as independent pieces: greedy
+# longest-match is local, and codes are self-delimiting, so the
+# concatenated piece encodings decode back to the row byte-identically
+# (the only cost is the <=7-byte match a piece boundary might break).
+# This bounds the lock-step matrix at O(total_bytes) and the Python-level
+# loop at O(_PIECE_LEN) iterations no matter how long the longest row is.
+_PIECE_LEN = 2048
+
+
+def _split_long_rows(offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(piece_offsets, pieces_per_row): extra cut points every _PIECE_LEN
+    bytes inside oversized rows. Pieces tile the data buffer exactly, so
+    the lock-step encoder runs on the same buffer unchanged."""
+    lens = np.diff(offsets)
+    n_pieces = np.maximum(1, -(-lens // _PIECE_LEN))
+    starts = np.repeat(offsets[:-1], n_pieces)
+    within = _ramp(n_pieces) * _PIECE_LEN
+    piece_offsets = np.concatenate(
+        [starts + within, offsets[-1:]]
+    ).astype(np.int64)
+    return piece_offsets, n_pieces
+
+
 def fsst_encode(offsets: np.ndarray, data: bytes, symbols: list[bytes] | None = None) -> bytes:
     n = offsets.size - 1
     if symbols is None:
@@ -160,7 +188,11 @@ def fsst_encode(offsets: np.ndarray, data: bytes, symbols: list[bytes] | None = 
         return bytes(head0)
     by_len, _, _, _ = _symbol_keys(symbols)
 
+    row_offsets = np.asarray(offsets, dtype=np.int64)
+    offsets, pieces_per_row = _split_long_rows(row_offsets)
+
     mat, lens = _byte_matrix(offsets, data, MAX_SYMBOL_LEN)
+    n = offsets.size - 1
     # worst case every byte escapes -> 2 bytes out per byte in
     maxout = 2 * (int(lens.max()) if n else 0)
     out = np.zeros((n, max(maxout, 1)), dtype=np.uint8)
@@ -206,13 +238,18 @@ def fsst_encode(offsets: np.ndarray, data: bytes, symbols: list[bytes] | None = 
         pos[ui] += 1
         active = pos < lens
 
-    enc_lens = opos
-    total = int(enc_lens.sum())
+    total = int(opos.sum())
     if total:
-        gather = np.repeat(rows * out.shape[1], enc_lens) + _ramp(enc_lens)
+        gather = np.repeat(rows * out.shape[1], opos) + _ramp(opos)
         enc_data = out.reshape(-1)[gather].tobytes()
     else:
         enc_data = b""
+    # piece encodings concatenate in row order; the wire length stream is
+    # per ROW, so sum each row's pieces back together
+    piece_ends = np.cumsum(pieces_per_row)
+    c = np.zeros(opos.size + 1, dtype=np.int64)
+    np.cumsum(opos, out=c[1:])
+    enc_lens = np.diff(np.concatenate([[0], c[piece_ends]]))
 
     head = bytearray()
     write_uvarint(head, len(symbols))
@@ -251,62 +288,70 @@ def fsst_decode(buf: bytes | memoryview, n: int) -> tuple[np.ndarray, bytes]:
 
     enc_offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(enc_lens, out=enc_offsets[1:])
-    mat, lens = _byte_matrix(enc_offsets, buf[pos : pos + total], 1)
+    if total == 0:
+        return np.zeros(n + 1, dtype=np.int64), b""
 
     _, sym_lens, sym_offsets, sym_data = _symbol_keys(symbols)
     sym_raw = np.frombuffer(sym_data, dtype=np.uint8)
 
-    # pass 1: decoded length per string (lock-step)
-    p = np.zeros(n, dtype=np.int64)
-    dlen = np.zeros(n, dtype=np.int64)
-    rows = np.arange(n, dtype=np.int64)
-    while True:
-        active = p < lens
-        if not active.any():
-            break
-        idx = rows[active]
-        b = mat[idx, p[idx]]
-        esc = b == ESCAPE
-        code = b[~esc].astype(np.int64)
-        if code.size and code.max() >= n_sym:
-            raise ValueError("invalid FSST code")
-        dlen[idx[~esc]] += sym_lens[code]
-        p[idx[~esc]] += 1
-        dlen[idx[esc]] += 1
-        p[idx[esc]] += 2
-        if (p[idx[esc]] > lens[idx[esc]]).any():
+    # Single flat pass over the concatenated payload — no per-string
+    # lock-step loop and no n × maxlen byte matrix, so cost is
+    # O(total_bytes) regardless of how long the longest string is.
+    # Escape/literal/code classification is position-parity inside
+    # maximal 0xFF runs: every encoded segment starts at a code
+    # position, and a run of k consecutive ESCAPE bytes (split at
+    # string boundaries) alternates marker, literal, marker, … — so
+    # even offsets within the run are escape markers, odd are escaped
+    # literal 0xFF bytes, and every non-0xFF byte is a code unless it
+    # immediately follows a marker.
+    arr = np.frombuffer(buf, dtype=np.uint8, count=total, offset=pos)
+    is_ff = arr == ESCAPE
+    string_start = np.zeros(total, dtype=bool)
+    seg_starts = enc_offsets[:-1][enc_lens > 0]
+    string_start[seg_starts] = True
+    prev_ff = np.empty(total, dtype=bool)
+    prev_ff[0] = False
+    prev_ff[1:] = is_ff[:-1]
+    run_start = is_ff & (~prev_ff | string_start)
+
+    is_marker = np.zeros(total, dtype=bool)
+    ff_pos = np.flatnonzero(is_ff)
+    if ff_pos.size:
+        rs_pos = np.flatnonzero(run_start)
+        rel = ff_pos - rs_pos[np.searchsorted(rs_pos, ff_pos, "right") - 1]
+        markers = ff_pos[rel % 2 == 0]
+        # each marker's literal must sit inside the SAME string segment
+        seg_end = enc_offsets[
+            np.searchsorted(enc_offsets, markers, "right")
+        ]
+        if (markers + 1 >= seg_end).any():
             raise EOFError("dangling FSST escape")
+        is_marker[markers] = True
 
-    out_offsets = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(dlen, out=out_offsets[1:])
-    out = np.zeros(int(out_offsets[-1]), dtype=np.uint8)
+    is_literal = np.zeros(total, dtype=bool)
+    if ff_pos.size:
+        is_literal[markers + 1] = True
+    code_pos = np.flatnonzero(~is_marker & ~is_literal)
+    codes = arr[code_pos].astype(np.int64)
+    if codes.size and codes.max() >= n_sym:
+        raise ValueError("invalid FSST code")
 
-    # pass 2: write
-    p = np.zeros(n, dtype=np.int64)
-    w = out_offsets[:-1].copy()
-    while True:
-        active = p < lens
-        if not active.any():
-            break
-        idx = rows[active]
-        b = mat[idx, p[idx]]
-        esc = b == ESCAPE
-        # escapes: single literal byte
-        ei = idx[esc]
-        out[w[ei]] = mat[ei, p[ei] + 1]
-        w[ei] += 1
-        p[ei] += 2
-        # symbols: variable-length copy via ramp gather
-        si = idx[~esc]
-        codes = b[~esc].astype(np.int64)
-        sl = sym_lens[codes]
-        if sl.size:
-            dst = np.repeat(w[si], sl) + _ramp(sl)
-            src = np.repeat(sym_offsets[codes], sl) + _ramp(sl)
-            out[dst] = sym_raw[src]
-            w[si] += sl
-            p[si] += 1
-    return out_offsets, out.tobytes()
+    outlen = np.zeros(total, dtype=np.int64)
+    outlen[is_literal] = 1
+    outlen[code_pos] = sym_lens[codes]
+    c = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(outlen, out=c[1:])
+    out_offsets = c[enc_offsets]
+    out = np.zeros(int(c[-1]), dtype=np.uint8)
+
+    lit_pos = np.flatnonzero(is_literal)
+    out[c[lit_pos]] = arr[lit_pos]
+    sl = sym_lens[codes]
+    if sl.size:
+        dst = np.repeat(c[code_pos], sl) + _ramp(sl)
+        src = np.repeat(sym_offsets[codes], sl) + _ramp(sl)
+        out[dst] = sym_raw[src]
+    return np.ascontiguousarray(out_offsets), out.tobytes()
 
 
 def fsst_encoded_size_estimate(

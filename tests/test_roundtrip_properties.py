@@ -302,6 +302,33 @@ def test_fsst_handles_escape_byte_in_data():
     assert out_data == data and (out_off == offsets).all()
 
 
+def test_fsst_long_rows_roundtrip_via_piece_split():
+    """Rows past _PIECE_LEN are encoded as independent pieces (codes are
+    self-delimiting, so concatenated piece encodings decode back to the
+    row); boundary lengths and escape-byte runs crossing cut points must
+    all round-trip, and the piece seams must stay invisible on the wire
+    (per-ROW length stream)."""
+    from pysparkenc.kernels.fsst import _PIECE_LEN
+
+    rng = np.random.default_rng(3)
+    words = [f"word{i} ".encode() for i in range(30)]
+    strings = [
+        b"",
+        b"\xff" * (_PIECE_LEN + 3),            # escape run across the seam
+        b"x" * (_PIECE_LEN - 1),
+        b"y" * _PIECE_LEN,
+        b"z" * (_PIECE_LEN + 1),
+        b"".join(rng.choice(words, 3 * _PIECE_LEN // 6).tolist()),  # ~3 pieces
+        bytes(rng.integers(0, 256, 2 * _PIECE_LEN + 17, dtype=np.uint8)),
+        b"short",
+    ]
+    offsets, data = to_offsets(strings)
+    enc = fsst_encode(offsets, data)
+    out_off, out_data = fsst_decode(enc, len(strings))
+    assert (out_off == offsets).all()
+    assert out_data == data
+
+
 def test_selector_tries_fsst_on_document_length_text():
     """Document-sized rows (~300 B, well past the old 256 B cap) must stay
     FSST-eligible: the length cap only bounds the encoder's lock-step
