@@ -394,6 +394,34 @@ def q_roundtrip_nullable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_table(chunks, df.schema)
 
 
+def q_roundtrip_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on decode (the parquet/iceberg reader contract):
+    an 'old' encode job writes even-keyed customers WITHOUT the evolved
+    columns; a second job writes the odd-keyed rows with two extra
+    columns; the merged chunk store decodes under the evolved schema,
+    old groups reading the new columns as typed nulls (they ride on a
+    payload-free anchor chunk for their row count). The oracle mirrors
+    the even/odd split with CASE, so every null position and every
+    evolved value is hash-checked."""
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.col("c_nationkey").cast("int").alias("nat")
+    )
+    old = cust.where(F.col("c_custkey") % 2 == 0)
+    new = (
+        cust.where(F.col("c_custkey") % 2 == 1)
+        .withColumn("seg_len", F.length("c_name").cast("int"))
+        .withColumn(
+            "tag", F.concat(F.lit("t"), F.col("c_custkey").cast("string"))
+        )
+    )
+    c_old = encode_table(old, partition_by=None)
+    c_new = encode_table(new, partition_by=None).withColumn(
+        "part_id", F.col("part_id") + 100_000
+    )
+    merged = c_old.unionByName(c_new, allowMissingColumns=True)
+    return decode_table(merged, new.schema)
+
+
 def q_roundtrip_bools(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean-codec oracle coverage (no driver table has a bool column):
     derive three bool columns from events — mixed (bool_plain territory),
@@ -1012,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_supplier": q_roundtrip_supplier,
         "roundtrip_embeddings": q_roundtrip_embeddings,
         "roundtrip_nullable": q_roundtrip_nullable,
+        "roundtrip_evolved": q_roundtrip_evolved,
         "roundtrip_bools": q_roundtrip_bools,
         "roundtrip_compressed": q_roundtrip_compressed,
         "roundtrip_structs": q_roundtrip_structs,
@@ -1128,6 +1157,14 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_bools": (
             "SELECT event_id, value > 0 AS is_pos, event_id >= 0 AS always_true, "
             "event_id % 16 = 0 AS sparse FROM events"
+        ),
+        "roundtrip_evolved": (
+            "SELECT c_custkey, c_name, c_nationkey::INT AS nat, "
+            "CASE WHEN c_custkey % 2 = 1 THEN length(c_name)::INT END "
+            "AS seg_len, "
+            "CASE WHEN c_custkey % 2 = 1 THEN 't' || c_custkey::VARCHAR END "
+            "AS tag "
+            "FROM customer"
         ),
         "roundtrip_compressed": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"

@@ -18,6 +18,8 @@ Subcommands:
     encode  parquet/Iceberg table -> encoded chunks + lineage (resumable)
     decode  committed chunks -> parquet table
     verify  decode + anti-join against the original; exit 1 on mismatch
+    audit   distributed integrity fsck of a chunk store (CRC32 + kernel
+            decode + footer-stat containment per chunk); exit 1 on corrupt
 
 No master/parallelism is hard-coded: spark-submit owns the cluster shape,
 which is how the same job runs at N and 4N executors for the scaling
@@ -32,7 +34,12 @@ import sys
 
 from pyspark.sql import SparkSession, functions as F
 
-from .engine import decode_table, encode_table, output_schema_of_chunks
+from .engine import (
+    audit_chunks,
+    decode_table,
+    encode_table,
+    output_schema_of_chunks,
+)
 from .lineage import encode_with_lineage, read_committed_chunks
 
 
@@ -96,6 +103,23 @@ def cmd_verify(args: argparse.Namespace) -> int:
     return 0 if mismatch == 0 else 1
 
 
+def cmd_audit(args: argparse.Namespace) -> int:
+    spark = _session("pysparkenc-audit")
+    chunks = spark.read.parquet(args.input)
+    report = audit_chunks(chunks)
+    agg = report.groupBy("status").count().collect()
+    by_status = {r["status"]: r["count"] for r in agg}
+    corrupt = int(by_status.get("corrupt", 0))
+    print(json.dumps({"chunks": int(sum(by_status.values())),
+                      "corrupt": corrupt}))
+    if corrupt:
+        for r in report.where(F.col("status") == "corrupt").take(20):
+            print(json.dumps({k: r[k] for k in
+                              ("part_id", "chunk_id", "col", "error")}),
+                  file=sys.stderr)
+    return 1 if corrupt else 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="pysparkenc")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -126,6 +150,11 @@ def main(argv: list[str] | None = None) -> int:
     ver.add_argument("--encoded", required=True)
     ver.add_argument("--key", default="doc_id")
     ver.set_defaults(fn=cmd_verify)
+
+    aud = sub.add_parser("audit")
+    aud.add_argument("--input", required=True,
+                     help="chunk parquet path (a store's chunks dir works)")
+    aud.set_defaults(fn=cmd_audit)
 
     args = ap.parse_args(argv)
     return args.fn(args)

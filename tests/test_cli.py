@@ -30,6 +30,40 @@ def test_encode_decode_verify_roundtrip(spark, tmp_path, capsys):
     assert v == {"rows": 300, "mismatches": 0}
 
 
+def test_audit_cli(spark, tmp_path, capsys):
+    src = str(tmp_path / "src")
+    enc = str(tmp_path / "enc")
+    make_tokens_table(spark, 200, seed=4).write.parquet(src)
+    assert main(["encode", "--input", src, "--output", enc]) == 0
+    capsys.readouterr()
+    assert main(["audit", "--input", enc + "/chunks"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["corrupt"] == 0 and rep["chunks"] > 0
+
+    # flip one payload byte in one chunk file: exit 1, chunk identified
+    import glob
+
+    import pyarrow.parquet as pq
+
+    f = sorted(glob.glob(enc + "/chunks/**/*.parquet", recursive=True))[0]
+    orig = pq.read_table(f)
+    t = orig.to_pylist()
+    t[0]["data"] = bytes([t[0]["data"][0] ^ 0x01]) + t[0]["data"][1:]
+    import pyarrow as pa
+
+    pq.write_table(pa.Table.from_pylist(t, schema=orig.schema), f)
+    # drop hadoop's local-fs checksum sidecar for the rewritten file,
+    # or the read fails at the FS layer before our audit ever runs
+    import os
+
+    crc = os.path.join(os.path.dirname(f), "." + os.path.basename(f) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    assert main(["audit", "--input", enc + "/chunks"]) == 1
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["corrupt"] == 1
+
+
 def test_verify_detects_corruption(spark, tmp_path, capsys):
     src = str(tmp_path / "src")
     src2 = str(tmp_path / "src2")
