@@ -67,6 +67,7 @@ def cmd_encode(args: argparse.Namespace) -> int:
         compression=None if args.compression in (None, "none") else args.compression,
         rows_per_chunk=args.rows_per_chunk,
         target_chunk_bytes=args.target_chunk_bytes,
+        sort_by=_parse_partition_by(args.sort_by),
         resume=args.resume,
     )
     print(json.dumps(metrics))
@@ -134,6 +135,10 @@ def main(argv: list[str] | None = None) -> int:
     enc.add_argument("--rows-per-chunk", type=int, default=4096)
     enc.add_argument("--target-chunk-bytes", type=int, default=None,
                      help="size pages by Arrow bytes instead of rows")
+    enc.add_argument("--sort-by", default=None,
+                     help="cluster rows inside each partition before "
+                          "chunking (local sort, no shuffle) — longer "
+                          "runs / smaller deltas for the codecs")
     enc.add_argument("--columns", default=None)
     enc.add_argument("--resume", action=argparse.BooleanOptionalAction,
                      default=True)

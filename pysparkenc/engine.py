@@ -626,6 +626,7 @@ def encode_table(
     rows_per_chunk: int | None = 4096,
     target_chunk_bytes: int | None = None,
     bloom: Iterable[str] | dict[str, float] | None = None,
+    sort_by: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Encode every column of ``df`` into chunk rows (CHUNK_SCHEMA).
 
@@ -660,6 +661,13 @@ def encode_table(
     (documents) at very different page byte sizes; a bytes target puts
     both near the throughput-optimal point (sweep table in BENCH.md,
     `python bench.py --page-sweep`).
+    ``sort_by``: cluster rows by these columns INSIDE each partition
+    before chunking (``sortWithinPartitions`` — a local sort, no extra
+    shuffle). Sorted pages hand the codecs longer runs and smaller
+    deltas: the classic sort-to-compress writer knob (parquet writers
+    recommend the same). Measured at sf0.1: lineitem by l_shipdate
+    3.50 -> 4.72 plain/enc. Decode order is unaffected (chunk tables
+    are unordered; the engine's contract is set equality).
     """
     spark = df.sparkSession
     if num_partitions is None:
@@ -708,6 +716,9 @@ def encode_table(
         shuffled = df.withColumn(
             "part_id", part_expr.cast("long")
         ).repartition(num_partitions, "part_id")
+
+    if sort_by:
+        shuffled = shuffled.sortWithinPartitions(*sort_by)
 
     gk_col = group_key_col
     fields = df.schema.fields

@@ -127,6 +127,7 @@ def encode_with_lineage(
     compression: str | None = None,
     rows_per_chunk: int | None = 4096,
     target_chunk_bytes: int | None = None,
+    sort_by: tuple[str, ...] | None = None,
     resume: bool = True,
     drop_part_ids: frozenset[int] | None = None,
     batch_id: int | None = None,
@@ -175,7 +176,7 @@ def encode_with_lineage(
     chunks = encode_table(
         df, partition_by=partition_by, num_partitions=num_partitions,
         codec=codec, compression=compression, rows_per_chunk=rows_per_chunk,
-        target_chunk_bytes=target_chunk_bytes,
+        target_chunk_bytes=target_chunk_bytes, sort_by=sort_by,
     )
     skipped = 0
     if resume:

@@ -185,3 +185,33 @@ def test_target_chunk_bytes_adapts_page_rows(spark):
     want_w = {(r["id"], r["body"]) for r in wide.collect()}
     assert got_w == want_w
     nc.unpersist(); wc.unpersist()
+
+
+def test_sort_by_clusters_and_shrinks(spark):
+    """``sort_by`` (sort-to-compress): a shuffled low-run-length column
+    must encode strictly smaller when clustered inside each partition,
+    and the decoded set must be unchanged. The plan adds a Sort but NO
+    extra Exchange (it's sortWithinPartitions, not a global orderBy)."""
+    df = spark.range(60_000).select(
+        F.col("id").alias("k"),
+        (F.xxhash64("id") % 16).alias("cat"),       # shuffled 16-value col
+        (F.xxhash64("id", F.lit(1)) % 1000).alias("v"),
+    ).repartition(4).cache()
+    df.count()
+
+    def enc_bytes(chunks):
+        return chunks.agg(F.sum("enc_bytes").alias("e")).collect()[0]["e"]
+
+    plainc = encode_table(df, num_partitions=4)
+    sortedc = encode_table(df, num_partitions=4, sort_by=("cat", "v"))
+    assert enc_bytes(sortedc) < enc_bytes(plainc) * 0.8
+
+    plan = sortedc._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == plainc._jdf.queryExecution(
+    ).executedPlan().toString().count("Exchange")
+
+    got = {(r["k"], r["cat"], r["v"])
+           for r in decode_table(sortedc, df.schema).collect()}
+    want = {(r["k"], r["cat"], r["v"]) for r in df.collect()}
+    assert got == want
+    df.unpersist()
