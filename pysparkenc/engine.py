@@ -1602,17 +1602,20 @@ def audit_chunks(chunks_df: DataFrame) -> DataFrame:
 
     def run(batches):
         for batch in batches:
-            rows = batch.to_pylist()
-            cols: dict[str, list] = {f.name: [] for f in out_schema}
-            for ck in rows:
-                err = _audit_one(ck)
-                cols["part_id"].append(ck["part_id"])
-                cols["chunk_id"].append(ck["chunk_id"])
-                cols["col"].append(ck["col"])
-                cols["codec"].append(ck["codec"])
-                cols["n_values"].append(ck["n_values"])
-                cols["status"].append("ok" if err is None else "corrupt")
-                cols["error"].append(err)
-            yield pa.RecordBatch.from_pydict(cols, schema=out_schema)
+            # slice before to_pylist: payload copies stay bounded at a
+            # few hundred chunks regardless of the Arrow batch size
+            for s in range(0, batch.num_rows, 256):
+                rows = batch.slice(s, 256).to_pylist()
+                cols: dict[str, list] = {f.name: [] for f in out_schema}
+                for ck in rows:
+                    err = _audit_one(ck)
+                    cols["part_id"].append(ck["part_id"])
+                    cols["chunk_id"].append(ck["chunk_id"])
+                    cols["col"].append(ck["col"])
+                    cols["codec"].append(ck["codec"])
+                    cols["n_values"].append(ck["n_values"])
+                    cols["status"].append("ok" if err is None else "corrupt")
+                    cols["error"].append(err)
+                yield pa.RecordBatch.from_pydict(cols, schema=out_schema)
 
     return meta.mapInArrow(run, AUDIT_SCHEMA)
