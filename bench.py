@@ -503,11 +503,13 @@ Compression ratio (plain/encoded, auto-selected codecs): {s['compression_ratio']
 
 ## Quality gates measured alongside throughput
 
-- ANN recall@5 (multi-table hyperplane LSH, 8 tables x 16 buckets, the
-  `ann_lsh_topk` contract configuration) vs the exact `cosine_topk` scan:
-  **0.68** on the driver embeddings at sf0.01; floor >= 0.6 pinned in
+- ANN recall@5 vs the exact `cosine_topk` scan on the driver embeddings
+  at sf0.01: multi-table hyperplane LSH (16 tables x 16 buckets, the
+  `ann_lsh_topk` contract configuration) **0.86**; IVF (32 cells,
+  probe 12, `ann_ivf_topk`) **0.87**. Floors >= 0.75 pinned in
   `tests/test_ann_recall.py`. Single-table single-probe LSH measured
-  0.03-0.2 and was replaced.
+  0.03-0.2 and was replaced; the table count is near-free (one matmul
+  per Arrow batch emits every table's bucket id).
 - Auto-selected chunks stay smaller than pyarrow *uncompressed* parquet
   (`tests/test_size_vs_parquet.py`).
 
