@@ -514,7 +514,11 @@ Compression ratio (plain/encoded, auto-selected codecs): {s['compression_ratio']
   (`tests/test_size_vs_parquet.py`).
 
 Reproduce: `python bench.py --scaling --rows {s['rows']}`.
-Headline per-query timings land in BENCH_r{{N}}.json via `python bench.py`.
+Headline per-query timings land in BENCH_r{{N}}.json via `python bench.py`;
+the query suite runs best-of-2 full passes (override with `BENCH_PASSES`)
+and the flagship encode best-of-3 trials, because the shared host shows
+multi-minute contention windows that can tax one section of a single
+pass 2-3x.
 {_pages_section()}"""
     with open(path, "w") as f:
         f.write(body)
