@@ -222,17 +222,43 @@ def encode_bool(col: str, values: np.ndarray, codec: str | None = None) -> Encod
     )
 
 
+# pages per column between FSST retrains when a symbol cache is passed:
+# training costs ~4x the actual encode, and value distributions are
+# near-stationary across adjacent pages of one column, so the selector
+# reuses one trained table for a stretch and refreshes to bound drift
+_FSST_REUSE_PAGES = 16
+
+
 def encode_bytes(
     col: str, offsets: np.ndarray, data_buf: bytes, codec: str | None = None,
     *, logical: str = "bytes", bloom_fpp: float | None = None,
+    fsst_cache: dict | None = None,
 ) -> EncodedChunk:
+    """``fsst_cache``: optional per-task dict ``col -> [symbols, uses]``.
+    The FSST probe reuses the cached table for up to ``_FSST_REUSE_PAGES``
+    pages instead of retraining per page; the size estimate then prices
+    exactly what the encode emits with that table, so codec selection
+    stays honest — staleness can only cost a little compression, never
+    correctness."""
     n = offsets.size - 1
     choice: Choice | None = None
     if codec is None and n == 0:
         codec = "ba_plain"  # all-null column: no values to select over
     if codec is None:
-        choice = select_bytes(offsets, data_buf)
+        hint = None
+        if fsst_cache is not None:
+            ent = fsst_cache.get(col)
+            if ent is not None and ent[1] < _FSST_REUSE_PAGES:
+                hint = ent[0]
+                ent[1] += 1
+        choice = select_bytes(offsets, data_buf, fsst_symbols=hint)
         codec = choice.codec
+        if (
+            fsst_cache is not None
+            and hint is None
+            and choice.fsst_symbols is not None
+        ):
+            fsst_cache[col] = [choice.fsst_symbols, 0]
     plain_bytes = len(data_buf) + 4 * n
     aux = b""
     n_unique = -1

@@ -306,6 +306,7 @@ class ChunkStoreWriter(DataSourceArrowWriter):
         pid = tc.partitionId() if tc is not None else 0
         out: list[pa.RecordBatch] = []
         seq = 0
+        kcache: dict = {}  # per-task FSST symbol reuse across pages
         for batch in iterator:
             if batch.num_rows == 0:
                 continue
@@ -321,7 +322,7 @@ class ChunkStoreWriter(DataSourceArrowWriter):
                     engine._encode_arrow_batch(
                         sub, self.fields, pid, seq, None,
                         self.codec_for, self.default_codec, self.compression,
-                        self.bloom_for,
+                        self.bloom_for, kcache,
                     )
                 )
                 seq += 1

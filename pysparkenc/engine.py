@@ -391,11 +391,14 @@ def _encode_scalar_chunk(
     codec: str | None,
     compression: str | None,
     bloom_fpp: float | None = None,
+    kcache: dict | None = None,
 ) -> chunklib.EncodedChunk:
     """Encode a flat, already null-compacted scalar Arrow array — shared
     by top-level columns, struct leaves, list elements, and map
     keys/values. ``bloom_fpp`` attaches a split-block bloom filter over
-    the chunk's values (kernels/bloom.py) for equality/IN pruning."""
+    the chunk's values (kernels/bloom.py) for equality/IN pruning.
+    ``kcache``: per-task kernel cache (FSST symbol tables reused across
+    pages of one column — see chunk.encode_bytes)."""
     if (phys := _phys_of(logical)) is not None:
         if logical.startswith("decimal("):
             values = _decimal_to_int64(arr)
@@ -434,7 +437,7 @@ def _encode_scalar_chunk(
             data_buf = b""
         offsets = offsets - offsets[0]
         ck = chunklib.encode_bytes(name, offsets, data_buf, codec,
-                                   bloom_fpp=bloom_fpp)
+                                   bloom_fpp=bloom_fpp, fsst_cache=kcache)
         if logical == "string" and len(arr):
             _attach_string_stats(ck, arr)
         return ck
@@ -475,6 +478,7 @@ def _encode_arrow_batch(
     default_codec: str | None = None,
     compression: str | None = None,
     bloom_for: dict[str, float] | None = None,
+    kcache: dict | None = None,
 ) -> pa.RecordBatch:
     """Shred one Arrow batch into chunk rows by recursive descent over the
     schema tree — the flat-chunk collapse of the reference's rep/def-level
@@ -563,7 +567,7 @@ def _encode_arrow_batch(
             return
         ck = _encode_scalar_chunk(
             path, arr, logical, inherited, compression,
-            bloom_fpp=(bloom_for or {}).get(path),
+            bloom_fpp=(bloom_for or {}).get(path), kcache=kcache,
         )
         ck.null_count = null_count
         emit(ck, idx, logical)
@@ -727,6 +731,7 @@ def encode_table(
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else 0
         seq = 0
+        kcache: dict = {}  # per-task FSST symbol reuse across pages
         for batch in batches:
             if batch.num_rows == 0:
                 continue
@@ -745,7 +750,7 @@ def encode_table(
                 sub = batch.slice(start, step)
                 yield _encode_arrow_batch(sub, fields, pid, seq, gk,
                                           codec_for, default_codec,
-                                          compression, bloom_for)
+                                          compression, bloom_for, kcache)
                 seq += 1
 
     encoded = shuffled.mapInArrow(encode_iter, CHUNK_SCHEMA)

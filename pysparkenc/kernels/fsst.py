@@ -355,9 +355,16 @@ def fsst_decode(buf: bytes | memoryview, n: int) -> tuple[np.ndarray, bytes]:
 
 
 def fsst_encoded_size_estimate(
-    offsets: np.ndarray, data: bytes, sample_rows: int = 512
+    offsets: np.ndarray, data: bytes, sample_rows: int = 512,
+    symbols: list[bytes] | None = None,
 ) -> tuple[int, list[bytes]]:
-    """(estimated size for the full column, trained symbols) from a sample."""
+    """(estimated size for the full column, trained symbols) from a sample.
+
+    ``symbols``: reuse an already-trained table instead of retraining —
+    the estimate then prices exactly what the encode would emit with that
+    table, so a caller caching symbols across pages of one column stays
+    honest (training is ~4x the cost of the actual encode; see the
+    per-task cache in chunk.encode_bytes)."""
     n = offsets.size - 1
     if n == 0:
         return 0, []
@@ -365,7 +372,8 @@ def fsst_encoded_size_estimate(
     sel = np.arange(0, n, step)[:sample_rows]
     lens = np.diff(offsets)
     sub_data = b"".join(bytes(data[offsets[i] : offsets[i + 1]]) for i in sel)
-    symbols = train_symbols(sub_data)
+    if symbols is None:
+        symbols = train_symbols(sub_data)
     sub_off = np.zeros(sel.size + 1, dtype=np.int64)
     np.cumsum(lens[sel], out=sub_off[1:])
     enc = fsst_encode(sub_off, sub_data, symbols)

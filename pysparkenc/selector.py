@@ -136,7 +136,10 @@ def select_bool(values: np.ndarray) -> Choice:
     return Choice(codec, sizes[codec], sizes)
 
 
-def select_bytes(offsets: np.ndarray, data: bytes) -> Choice:
+def select_bytes(
+    offsets: np.ndarray, data: bytes,
+    fsst_symbols: list[bytes] | None = None,
+) -> Choice:
     n = offsets.size - 1
     total = len(data)
     sizes: dict[str, int] = {"ba_plain": total + 4 * n}
@@ -176,7 +179,6 @@ def select_bytes(offsets: np.ndarray, data: bytes) -> Choice:
             + dict_codes_encoded_size(codes, nu) * row_scale
         )
 
-    fsst_symbols = None
     avg_len = total / max(1, n)
     best_so_far = min(sizes.values())
     # FSST training is the selector's priciest probe (the estimate
@@ -201,8 +203,12 @@ def select_bytes(offsets: np.ndarray, data: bytes) -> Choice:
         and best_so_far > 0.35 * sizes["ba_plain"]
         and high_bit_frac <= 0.25
     ):
-        est, fsst_symbols = fsst_encoded_size_estimate(offsets, data)
+        est, fsst_symbols = fsst_encoded_size_estimate(
+            offsets, data, symbols=fsst_symbols
+        )
         sizes["fsst"] = est
+    else:
+        fsst_symbols = None
 
     codec = min(sizes, key=sizes.get)  # type: ignore[arg-type]
     return Choice(codec, sizes[codec], sizes, fsst_symbols=fsst_symbols)
