@@ -419,7 +419,7 @@ def _encode_scalar_chunk(
         data_buf = _decimal_to_fixed(arr)
         offsets = np.arange(len(arr) + 1, dtype=np.int64) * 16
         return chunklib.encode_bytes(name, offsets, data_buf, codec,
-                                     bloom_fpp=bloom_fpp)
+                                     bloom_fpp=bloom_fpp, fsst_cache=kcache)
     if logical == "bool":
         values = arr.to_numpy(zero_copy_only=False)
         return chunklib.encode_bool(name, values, codec)
