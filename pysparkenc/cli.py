@@ -20,6 +20,8 @@ Subcommands:
     verify  decode + anti-join against the original; exit 1 on mismatch
     audit   distributed integrity fsck of a chunk store (CRC32 + kernel
             decode + footer-stat containment per chunk); exit 1 on corrupt
+    history snapshot log of a store, one JSON row per committed run;
+            pair with ``decode --as-of-run`` for VERSION AS OF reads
 
 No master/parallelism is hard-coded: spark-submit owns the cluster shape,
 which is how the same job runs at N and 4N executors for the scaling
@@ -40,7 +42,7 @@ from .engine import (
     encode_table,
     output_schema_of_chunks,
 )
-from .lineage import encode_with_lineage, read_committed_chunks
+from .lineage import encode_with_lineage, read_committed_chunks, snapshots
 
 
 def _session(app: str) -> SparkSession:
@@ -76,7 +78,7 @@ def cmd_encode(args: argparse.Namespace) -> int:
 
 def cmd_decode(args: argparse.Namespace) -> int:
     spark = _session("pysparkenc-decode")
-    chunks = read_committed_chunks(spark, args.input)
+    chunks = read_committed_chunks(spark, args.input, as_of_run=args.as_of_run)
     decoded = decode_table(chunks, None)
     decoded.write.mode(args.mode).parquet(args.output)
     print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
@@ -102,6 +104,13 @@ def cmd_verify(args: argparse.Namespace) -> int:
     total = orig.count()
     print(json.dumps({"rows": total, "mismatches": mismatch}))
     return 0 if mismatch == 0 else 1
+
+
+def cmd_history(args: argparse.Namespace) -> int:
+    spark = _session("pysparkenc-history")
+    for r in snapshots(spark, args.input).collect():
+        print(json.dumps(r.asDict()))
+    return 0
 
 
 def cmd_audit(args: argparse.Namespace) -> int:
@@ -148,7 +157,16 @@ def main(argv: list[str] | None = None) -> int:
     dec.add_argument("--input", required=True)
     dec.add_argument("--output", required=True)
     dec.add_argument("--mode", default="overwrite")
+    dec.add_argument("--as-of-run", type=int, default=None,
+                     help="snapshot time travel: decode the table as it "
+                          "was when this run committed (VERSION AS OF)")
     dec.set_defaults(fn=cmd_decode)
+
+    his = sub.add_parser("history")
+    his.add_argument("--input", required=True,
+                     help="encoded store path; prints one JSON snapshot "
+                          "row per committed run, newest first")
+    his.set_defaults(fn=cmd_history)
 
     ver = sub.add_parser("verify")
     ver.add_argument("--original", required=True)

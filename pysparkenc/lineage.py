@@ -87,13 +87,24 @@ def completed_part_ids(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def read_committed_chunks(spark: SparkSession, path: str) -> DataFrame:
+def read_committed_chunks(
+    spark: SparkSession, path: str, *, as_of_run: int | None = None
+) -> DataFrame:
     """Chunk rows whose partition committed (has a done lineage row).
 
     ``part_id`` is remapped to ``run_id * 2^32 + part_id`` so chunk groups
     stay unique across runs: batch-resume assigns each part_id to exactly
     one run, but streaming appends re-use the same part space every
-    micro-batch and must not collide in decode's groupBy."""
+    micro-batch and must not collide in decode's groupBy.
+
+    ``as_of_run`` is snapshot time travel (the Iceberg
+    ``VERSION AS OF`` contract on this layout): each run's single-file
+    lineage append IS a snapshot boundary, so filtering the commit
+    records to ``run_id <= as_of_run`` reproduces exactly the table a
+    reader saw the moment that run committed — later appends (batch
+    resumes or streaming micro-batches) become invisible. Pure metadata:
+    the chunk scan itself is pruned by the same broadcast semi-join,
+    never rewritten."""
     chunks = spark.read.parquet(_chunks_dir(path))
     done = (
         read_lineage(spark, path)
@@ -101,6 +112,8 @@ def read_committed_chunks(spark: SparkSession, path: str) -> DataFrame:
         .select("run_id", "part_id")
         .distinct()
     )
+    if as_of_run is not None:
+        done = done.where(F.col("run_id") <= int(as_of_run))
     return (
         chunks.join(F.broadcast(done), ["run_id", "part_id"], "left_semi")
         .withColumn(
@@ -108,6 +121,26 @@ def read_committed_chunks(spark: SparkSession, path: str) -> DataFrame:
             (F.col("run_id") * F.lit(1 << 32) + F.col("part_id")).cast("long"),
         )
         .drop("run_id")
+    )
+
+
+def snapshots(spark: SparkSession, path: str) -> DataFrame:
+    """Snapshot history: one row per committed run (Iceberg's
+    ``snapshots`` metadata table analogue), newest first. Aggregated
+    from the lineage commit records — no chunk payload is touched."""
+    return (
+        read_lineage(spark, path)
+        .where(F.col("status") == "done")
+        .groupBy("run_id", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("partitions"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("n_values").alias("n_values"),
+            F.sum("plain_bytes").alias("plain_bytes"),
+            F.sum("enc_bytes").alias("enc_bytes"),
+            F.max("wall_sec").alias("wall_sec"),
+        )
+        .orderBy(F.col("run_id").desc())
     )
 
 

@@ -74,3 +74,29 @@ def test_verify_detects_corruption(spark, tmp_path, capsys):
     assert main(["encode", "--input", src, "--output", enc]) == 0
     capsys.readouterr()
     assert main(["verify", "--original", src2, "--encoded", enc]) == 1
+
+
+def test_history_and_as_of_run_cli(spark, tmp_path, capsys):
+    src = str(tmp_path / "src")
+    enc = str(tmp_path / "enc")
+    out1 = str(tmp_path / "out1")
+    make_tokens_table(spark, 200, seed=11).write.parquet(src)
+    # two commits: a crashed first run (one partition lost), then the fill-in
+    from pysparkenc.lineage import encode_with_lineage
+
+    df = spark.read.parquet(src)
+    encode_with_lineage(df, enc, partition_by=("source", "doc_id"),
+                        num_partitions=4, drop_part_ids=frozenset({0}))
+    encode_with_lineage(df, enc, partition_by=("source", "doc_id"),
+                        num_partitions=4)
+
+    assert main(["history", "--input", enc]) == 0
+    rows = [json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    assert [r["run_id"] for r in rows] == [2, 1]
+    assert sum(r["n_rows"] for r in rows) == 200
+
+    assert main(["decode", "--input", enc, "--output", out1,
+                 "--as-of-run", "1"]) == 0
+    n1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["rows"]
+    assert 0 < n1 < 200

@@ -117,3 +117,65 @@ def test_lineage_metrics_schema(spark, tokens_df, tmp_path):
     assert row["rows"] == N_DOCS
     assert row["chunks"] > 0
     assert row["min_enc"] > 0
+
+
+def test_time_travel_as_of_run(spark, tokens_df, tmp_path):
+    """Snapshot reads: `as_of_run=r` reproduces exactly the committed
+    state at run r — later resumes/appends are invisible, and the
+    snapshot decodes bit-identically to the rows it covered."""
+    path = str(tmp_path / "enc")
+    # run 1 commits all but partitions {0, 1}; run 2 fills them in
+    encode_with_lineage(
+        tokens_df, path, partition_by=("source", "doc_id"),
+        num_partitions=N_PARTS, drop_part_ids=frozenset({0, 1}),
+    )
+    encode_with_lineage(
+        tokens_df, path, partition_by=("source", "doc_id"),
+        num_partitions=N_PARTS,
+    )
+
+    snap1 = read_committed_chunks(spark, path, as_of_run=1)
+    now = read_committed_chunks(spark, path)
+    part1 = {r["part_id"] % (1 << 32)
+             for r in snap1.select("part_id").distinct().collect()}
+    run1_committed = {
+        r["part_id"]
+        for r in read_lineage(spark, path)
+        .where((F.col("run_id") == 1) & (F.col("status") == "done"))
+        .select("part_id").collect()
+    }
+    assert part1 == run1_committed
+    assert part1.isdisjoint({0, 1})
+
+    rows1 = decode_table(snap1, tokens_df.schema)
+    rows_now = decode_table(now, tokens_df.schema)
+    assert rows_now.count() == N_DOCS
+    n1 = rows1.count()
+    assert 0 < n1 < N_DOCS
+    # the snapshot's rows are a subset of the full table, bit-identical
+    assert rows1.join(tokens_df.select("doc_id", "tokens"),
+                      ["doc_id", "tokens"], "left_anti").count() == 0
+
+
+def test_snapshots_history(spark, tokens_df, tmp_path):
+    from pysparkenc.lineage import snapshots
+
+    path = str(tmp_path / "enc")
+    encode_with_lineage(
+        tokens_df, path, partition_by=("source", "doc_id"),
+        num_partitions=N_PARTS, drop_part_ids=frozenset({0}),
+    )
+    encode_with_lineage(
+        tokens_df, path, partition_by=("source", "doc_id"),
+        num_partitions=N_PARTS,
+    )
+    hist = snapshots(spark, path).collect()
+    assert [r["run_id"] for r in hist] == [2, 1]
+    # run 2 only filled the gap run 1 dropped (empty partitions aside,
+    # partition 0 is the one forced hole)
+    assert 1 <= hist[0]["partitions"] <= 2
+    assert hist[0]["partitions"] + hist[1]["partitions"] == (
+        completed_part_ids(spark, path).count()
+    )
+    assert sum(r["n_rows"] for r in hist) == N_DOCS
+    assert all(r["enc_bytes"] > 0 for r in hist)
