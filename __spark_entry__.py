@@ -799,6 +799,38 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.quality_score(_read(spark, sf_dir, "documents"))
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source Bernoulli sample (mixture weighting):
+    keep 100% of src0, 50% of src1, 20% of everything else — re-derivable
+    row-for-row from md5(doc_id || salt), so the oracle checks exact
+    membership, not just counts."""
+    from pysparkenc.pipeline import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, {"src0": 1_000_000, "src1": 500_000},
+        default_ppm=200_000, salt="s1",
+    ).select("doc_id", "source")
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length sequence packing: per source, concatenate documents'
+    (BPE-hash) tokens in doc_id order and split every 64 tokens — the
+    packed-pretraining layout. The oracle rebuilds every packed array
+    value-for-value in SQL."""
+    from pysparkenc.pipeline import pack_sequences
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", "doc_id",
+        F.transform(
+            F.regexp_extract_all("text", F.lit(tx.BPE_PATTERN), F.lit(0)),
+            lambda w: tx.portable_hash31(w),
+        ).alias("tokens"),
+    )
+    return pack_sequences(toks, 64, order_col="doc_id", group_cols=("source",))
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.lang_id(_read(spark, sf_dir, "documents"))
 
@@ -1063,6 +1095,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "text_quality": q_text_quality,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "minhash_signature": q_minhash_signature,
@@ -1283,6 +1317,39 @@ FROM t JOIN w USING (doc_id)
             r"'[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::BIGINT "
             "AS n_bpe_tokens FROM documents"
         ),
+        "stratified_sample": (
+            "SELECT doc_id, source FROM documents "
+            "WHERE (CAST('0x'||substring(md5(doc_id::VARCHAR || 's1'),1,15) "
+            "AS BIGINT) % 1000000) < CASE source WHEN 'src0' THEN 1000000 "
+            "WHEN 'src1' THEN 500000 ELSE 200000 END"
+        ),
+        "pack_sequences": r"""
+WITH toks AS (
+  SELECT source, doc_id,
+         list_transform(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]', 0),
+            w -> CAST('0x'||substring(md5(w),1,15) AS BIGINT) % 2147483647) AS tokens
+  FROM documents
+), d AS (
+  SELECT source, doc_id, tokens, len(tokens)::BIGINT AS n,
+         sum(len(tokens)) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING)::BIGINT AS e
+  FROM toks WHERE len(tokens) > 0
+), s AS (
+  SELECT source, doc_id, tokens, e - n AS st, e,
+         unnest(generate_series((e-n)//64, (e-1)//64)) AS seq_id
+  FROM d
+), f AS (
+  SELECT source, seq_id, st,
+         list_slice(tokens,
+            (greatest(seq_id*64, st) - st + 1)::INT,
+            (least((seq_id+1)*64, e) - st)::INT) AS frag
+  FROM s
+)
+SELECT source, seq_id,
+       flatten(list(frag ORDER BY st)) AS seq_tokens,
+       len(flatten(list(frag ORDER BY st)))::BIGINT AS n_tok
+FROM f GROUP BY source, seq_id
+""",
         "text_quality": f"""
 WITH base AS (
   SELECT doc_id, text, length(text)::BIGINT AS n_chars, {_WS} AS ws FROM documents

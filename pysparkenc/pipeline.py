@@ -1,0 +1,153 @@
+"""Training-data pipeline operators: deterministic sampling and
+sequence packing.
+
+These close the gap between "encoded token table" and "what a
+pretraining run actually consumes": a reproducible per-source sample of
+documents, and fixed-length packed token sequences (documents
+concatenated in a deterministic order, split every ``seq_len`` tokens —
+the standard packed-pretraining shape).
+
+Scale notes (the 100 TB contract):
+
+- :func:`stratified_sample` is a pure narrow filter — whole-stage
+  codegen, no shuffle, pushes through any downstream scan.
+- :func:`pack_sequences` is inherently a re-layout of the token stream,
+  so ONE shuffle is unavoidable; everything else stays row-shaped. The
+  per-document work is O(#overlapping sequences), never a per-token
+  explode: a document's tokens travel as one array value, fragments are
+  ``F.slice`` views, and the final assembly is a single
+  ``groupBy(group, seq_id)`` whose groups are bounded by ``seq_len``
+  tokens — no skew regardless of document-length distribution. The
+  window cumsum that assigns stream offsets sorts within each
+  ``group_cols`` value; with few huge sources pass ``shards=K`` to cut
+  each source into K deterministic hash shards that pack independently
+  (Spark sorts each shard in parallel), trading global concatenation
+  order for scale exactly like the salted encode partitioner.
+
+Everything is ``pyspark.sql.functions`` — zero Python in the data path —
+and every derived value is re-expressible in DuckDB SQL, so both
+operators carry full value-hash oracles in ``__spark_entry__``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .textops import portable_hash60
+
+PPM = 1_000_000
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates_ppm: dict[str, int],
+    *,
+    key_col: str = "doc_id",
+    stratum_col: str = "source",
+    default_ppm: int = 0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample.
+
+    A row survives iff ``md5-hash60(key || salt) % 1e6 <
+    rates_ppm[stratum]`` — so the sample is a pure function of the key,
+    reproducible across runs/cluster sizes, and re-derivable row-for-row
+    by the SQL oracle (unlike ``df.sample``, whose RNG is
+    partition-layout-dependent). Changing ``salt`` draws an independent
+    sample; strata missing from ``rates_ppm`` fall back to
+    ``default_ppm``. This is the "keep 10% of crawl, 100% of wiki"
+    mixture-weighting step of a training-data pipeline, as a narrow
+    codegen filter with zero shuffle.
+    """
+    rate = F.lit(int(default_ppm))
+    for stratum, ppm in sorted(rates_ppm.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(int(ppm))).otherwise(rate)
+    draw = F.pmod(
+        portable_hash60(F.concat(F.col(key_col).cast("string"), F.lit(salt))),
+        F.lit(PPM),
+    )
+    return df.where(draw < rate)
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    *,
+    tokens_col: str = "tokens",
+    order_col: str = "doc_id",
+    group_cols: tuple[str, ...] = ("source",),
+    shards: int | None = None,
+    drop_last: bool = False,
+) -> DataFrame:
+    """Pack variable-length token arrays into fixed-``seq_len`` sequences.
+
+    Semantics: within each ``group_cols`` value, concatenate documents'
+    tokens in ``order_col`` order into one virtual stream and split it
+    every ``seq_len`` tokens. Output one row per sequence:
+    ``(*group_cols, seq_id, seq_tokens, n_tok)`` where ``n_tok <
+    seq_len`` only for the trailing partial sequence (dropped when
+    ``drop_last``). Deterministic: same input ⇒ same sequences at any
+    parallelism.
+
+    Plan shape: window cumsum assigns each document its [start, end)
+    offset in the stream; ``F.sequence`` enumerates only the sequences
+    the document overlaps (≥1 row per document, +1 per extra boundary it
+    straddles); each overlap carries an ``F.slice`` fragment; a final
+    ``groupBy(group, seq_id)`` sorts the ≤ a-few fragments by offset and
+    flattens. Shuffle volume = token bytes + O(1) per fragment; reducer
+    state is capped at ``seq_len`` tokens per group — no hot keys.
+
+    ``shards``: deterministic scale-out for skewed/huge groups — each
+    document hashes into one of ``shards`` sub-streams (extra
+    ``pack_shard`` output column) that pack independently.
+    """
+    gcols = list(group_cols)
+    d = df.select(*gcols, order_col, tokens_col).where(
+        F.size(F.col(tokens_col)) > 0
+    )
+    if shards is not None:
+        d = d.withColumn(
+            "pack_shard",
+            F.pmod(portable_hash60(F.col(order_col).cast("string")),
+                   F.lit(int(shards))).cast("int"),
+        )
+        gcols = gcols + ["pack_shard"]
+    w = Window.partitionBy(*gcols).orderBy(order_col)
+    n = F.size(F.col(tokens_col)).cast("long")
+    d = (
+        d.withColumn("__end", F.sum(F.size(tokens_col)).over(w).cast("long"))
+        .withColumn("__start", (F.col("__end") - n).cast("long"))
+    )
+    L = F.lit(int(seq_len))
+    d = d.withColumn(
+        "seq_id",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__start") / L),
+                F.floor((F.col("__end") - 1) / L),
+            )
+        ),
+    )
+    lo = F.greatest(F.col("seq_id") * L, F.col("__start"))
+    hi = F.least((F.col("seq_id") + 1) * L, F.col("__end"))
+    frag = F.slice(
+        F.col(tokens_col),
+        (lo - F.col("__start") + 1).cast("int"),
+        (hi - lo).cast("int"),
+    )
+    packed = (
+        d.select(*gcols, "seq_id", F.col("__start").alias("__o"), frag.alias("__f"))
+        .groupBy(*gcols, "seq_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("__o"), F.col("__f")))),
+                    lambda s: s["__f"],
+                )
+            ).alias("seq_tokens")
+        )
+        .withColumn("n_tok", F.size("seq_tokens").cast("long"))
+    )
+    if drop_last:
+        packed = packed.where(F.col("n_tok") == int(seq_len))
+    return packed.select(*gcols, "seq_id", "seq_tokens", "n_tok")

@@ -1,0 +1,120 @@
+"""Training-pipeline operators: deterministic sampling + sequence packing.
+
+The contract oracles (`stratified_sample`, `pack_sequences` in
+__spark_entry__) pin Spark-vs-DuckDB value equality; these tests pin the
+semantics the oracle can't see: determinism across parallelism, exact
+reconstruction of the token stream, shard independence, drop_last.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pysparkenc.pipeline import pack_sequences, stratified_sample
+from pysparkenc.synth import make_tokens_table
+
+N_DOCS = 400
+
+
+@pytest.fixture()
+def tokens_df(spark):
+    df = make_tokens_table(spark, N_DOCS, seed=13)
+    df.cache().count()
+    yield df
+    df.unpersist()
+
+
+def test_sample_is_deterministic_and_stratified(spark, tokens_df):
+    rates = {"web": 1_000_000, "books": 0}
+    s1 = stratified_sample(tokens_df, rates, default_ppm=300_000)
+    s2 = stratified_sample(tokens_df.repartition(17), rates,
+                           default_ppm=300_000)
+    ids1 = {r["doc_id"] for r in s1.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in s2.select("doc_id").collect()}
+    assert ids1 == ids2  # layout-independent, unlike df.sample
+    by_src = dict(
+        s1.groupBy("source").count().collect()
+        and [(r["source"], r["count"]) for r in s1.groupBy("source").count().collect()]
+    )
+    n_web = tokens_df.where(F.col("source") == "web").count()
+    assert by_src.get("web", 0) == n_web  # ppm=1e6 keeps everything
+    assert "books" not in by_src  # ppm=0 drops everything
+    # default strata land near 30% (binomial, loose bound)
+    others = tokens_df.where(~F.col("source").isin("web", "books")).count()
+    kept = sum(v for k, v in by_src.items() if k not in ("web", "books"))
+    assert 0.15 * others < kept < 0.45 * others
+
+
+def test_sample_salt_draws_independent_sample(spark, tokens_df):
+    a = {r["doc_id"] for r in
+         stratified_sample(tokens_df, {}, default_ppm=500_000,
+                           salt="a").select("doc_id").collect()}
+    b = {r["doc_id"] for r in
+         stratified_sample(tokens_df, {}, default_ppm=500_000,
+                           salt="b").select("doc_id").collect()}
+    assert a != b
+    assert 0.3 < len(a) / N_DOCS < 0.7
+
+
+def _stream(rows, group):
+    """Reference packing: concatenate in doc_id order, pure Python."""
+    out = []
+    for r in sorted((r for r in rows if r["source"] == group),
+                    key=lambda r: r["doc_id"]):
+        out.extend(r["tokens"])
+    return out
+
+
+def test_pack_reconstructs_the_stream_exactly(spark, tokens_df):
+    L = 128
+    packed = pack_sequences(tokens_df, L, order_col="doc_id",
+                            group_cols=("source",))
+    rows = tokens_df.select("source", "doc_id", "tokens").collect()
+    got = packed.collect()
+    for src in {r["source"] for r in rows}:
+        want = _stream(rows, src)
+        seqs = sorted((r for r in got if r["source"] == src),
+                      key=lambda r: r["seq_id"])
+        assert [r["seq_id"] for r in seqs] == list(range(len(seqs)))
+        flat = [t for r in seqs for t in r["seq_tokens"]]
+        assert flat == want
+        assert all(r["n_tok"] == L for r in seqs[:-1])
+        assert 0 < seqs[-1]["n_tok"] <= L
+
+
+def test_pack_is_parallelism_invariant(spark, tokens_df):
+    L = 96
+    a = pack_sequences(tokens_df, L).collect()
+    b = pack_sequences(tokens_df.repartition(23), L).collect()
+    ka = {(r["source"], r["seq_id"]): list(r["seq_tokens"]) for r in a}
+    kb = {(r["source"], r["seq_id"]): list(r["seq_tokens"]) for r in b}
+    assert ka == kb
+
+
+def test_pack_drop_last_keeps_only_full_sequences(spark, tokens_df):
+    L = 256
+    full = pack_sequences(tokens_df, L)
+    trimmed = pack_sequences(tokens_df, L, drop_last=True)
+    assert trimmed.where(F.col("n_tok") != L).count() == 0
+    n_partial = full.where(F.col("n_tok") < L).count()
+    assert trimmed.count() == full.count() - n_partial
+
+
+def test_pack_shards_partition_the_stream(spark, tokens_df):
+    L = 64
+    sharded = pack_sequences(tokens_df, L, shards=4)
+    assert "pack_shard" in sharded.columns
+    assert sharded.select("pack_shard").distinct().count() == 4
+    # every token of every doc still lands exactly once
+    total = tokens_df.select(
+        F.sum(F.size("tokens")).alias("n")).collect()[0]["n"]
+    packed_total = sharded.select(F.sum("n_tok").alias("n")).collect()[0]["n"]
+    assert packed_total == total
+    # shard assignment is deterministic per doc -> invariant across layouts
+    again = pack_sequences(tokens_df.repartition(9), L, shards=4)
+    ka = {(r["source"], r["pack_shard"], r["seq_id"]): list(r["seq_tokens"])
+          for r in sharded.collect()}
+    kb = {(r["source"], r["pack_shard"], r["seq_id"]): list(r["seq_tokens"])
+          for r in again.collect()}
+    assert ka == kb

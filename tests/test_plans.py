@@ -200,3 +200,31 @@ def test_ann_ivf_join_is_cell_equi_join(emb):
     # rank runs over partition-local top-k survivors
     assert "BroadcastHashJoin" in plan and "MapInArrow" in plan
     assert "NestedLoop" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pack_sequences_plan_is_jvm_only_two_shuffles(spark):
+    from pysparkenc.pipeline import pack_sequences
+    from pysparkenc.synth import make_tokens_table
+
+    df = make_tokens_table(spark, 500, seed=7)
+    plan = plan_of(pack_sequences(df, 128))
+    # zero Python in the data path (MapInArrow is the synth generator)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # ONE shuffle total: the window's hashpartitioning(source) already
+    # clusters the (source, seq_id) assembly groupBy, so Catalyst elides
+    # the second exchange — sequence assembly is shuffle-free
+    tree = [ln for ln in plan.splitlines()
+            if ln.lstrip().startswith(("+-", ":-", "Adaptive", "*("))]
+    assert sum("Exchange" in ln for ln in tree) == 1, plan
+    # partial + final aggregation pair for the fragment assembly
+    assert sum("ObjectHashAggregate" in ln for ln in tree) == 2, plan
+
+
+def test_stratified_sample_is_narrow_codegen_filter(docs):
+    from pysparkenc.pipeline import stratified_sample
+
+    plan = plan_of(stratified_sample(docs, {"src0": 500_000},
+                                     default_ppm=100_000), "simple")
+    assert "Exchange" not in plan  # pure filter, no shuffle
+    assert "BatchEvalPython" not in plan
+    assert "*(1)" in plan  # whole-stage codegen
