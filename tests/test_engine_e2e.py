@@ -93,15 +93,15 @@ def test_footer_metadata_consistency(spark, tokens_df):
     ).collect()[0]
     assert agg["lo"] == float(true["lo"]) and agg["hi"] == float(true["hi"])
     assert agg["nv"] == true["n"]
-    # every partition is single-source (skew plan keeps chunks homogeneous)
-    multi = (
-        meta.where(F.col("col") == "tokens")
-        .groupBy("part_id")
-        .agg(F.countDistinct("group_key").alias("k"))
-        .where(F.col("k") > 1)
-        .count()
+    # the striped plan fills EVERY partition near-evenly (balance is the
+    # design invariant now; per-page source homogeneity is recoverable
+    # with sort_by=("source",) when ratio matters more than wall)
+    sizes = sorted(
+        r["nv"] for r in meta.where(F.col("col") == "tokens")
+        .groupBy("part_id").agg(F.sum("n_values").alias("nv")).collect()
     )
-    assert multi == 0
+    assert len(sizes) == 8
+    assert sizes[-1] <= 1.3 * sizes[len(sizes) // 2]
     # compression must beat PLAIN overall on this profile mix
     tot = meta.agg(
         F.sum("plain_bytes").alias("p"), F.sum("enc_bytes").alias("e")
@@ -126,6 +126,53 @@ def test_skew_plan_balances_partitions(spark, tokens_df):
     # no partition dominates: max <= 6x median
     median = vals[len(vals) // 2]
     assert vals[-1] <= 6 * median
+
+
+def test_single_key_plan_salts_by_row_content(spark, tokens_df):
+    """partition_by=("source",) alone must still spread a hot source
+    across its whole bucket range (salt = deterministic row hash, not
+    the range key itself) and stay layout-invariant for resume."""
+    from pysparkenc.engine import plan_partitions
+
+    p = plan_partitions(tokens_df, ("source",), 16).select(
+        "doc_id", "part_id"
+    )
+    sizes = sorted(
+        r["n"] for r in
+        p.groupBy("part_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    # the Zipf-heaviest source holds ~30% of rows; without row-content
+    # salting its entire mass lands in ONE part_id
+    assert len(sizes) >= 10
+    assert sizes[-1] <= 4 * sizes[len(sizes) // 2]
+    # deterministic: same rows => same part_id under any input layout
+    q = plan_partitions(tokens_df.repartition(13), ("source",), 16).select(
+        "doc_id", F.col("part_id").alias("part_id2")
+    )
+    assert p.join(q, "doc_id").where(
+        F.col("part_id") != F.col("part_id2")
+    ).count() == 0
+
+
+def test_part_id_col_bring_your_own_partitioning(spark, tokens_df):
+    """`part_id_col` aligns chunk groups with a caller-owned layout:
+    the column drives partitioning, is never encoded, and decode still
+    round-trips bit-identical."""
+    import pytest as _pytest
+
+    d2 = tokens_df.withColumn(
+        "pid", F.pmod(F.abs(F.xxhash64("source")), F.lit(8))
+    )
+    chunks = encode_table(d2, part_id_col="pid", num_partitions=8)
+    cols = {r["col"] for r in chunks.select("col").distinct().collect()}
+    assert "pid" not in cols  # layout metadata, not data
+    out = decode_table(chunks, tokens_df.schema)
+    assert out.join(
+        tokens_df, ["doc_id", "tokens", "n_tok", "source"], "left_anti"
+    ).count() == 0
+    assert out.count() == tokens_df.count()
+    with _pytest.raises(ValueError):
+        encode_table(d2, part_id_col="pid", partition_by=("source",))
 
 
 def test_empty_table_roundtrip(spark):

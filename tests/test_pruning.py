@@ -83,7 +83,8 @@ def test_string_pruning_drops_groups_and_matches_exact(spark):
     df = spark.createDataFrame(rows, "id long, k string")
     # partition by first letter so chunks have tight string ranges
     df = df.withColumn("g", F.substring("k", 1, 1))
-    chunks = encode_table(df, partition_by=("g", "id"), num_partitions=16)
+    chunks = encode_table(df, partition_by=("g", "id"), num_partitions=16,
+                          rows_per_chunk=64)
     chunks.cache().count()
 
     total = chunks.select("part_id", "chunk_id").distinct().count()
