@@ -402,6 +402,13 @@ def run_scaling(n_rows: int, n_small: int = 2, n_big: int = 8,
     tp_4n = results[n_big]["tokens_per_sec"]
     factor = n_big / n_small
     eff = round((tp_4n / tp_n) / factor, 4)
+    # the host's own ceiling for this window: what a PERFECTLY scaling
+    # job could score given the measured effective parallelism at each
+    # leg's core count (shared VM — capacity swings 2-3x between runs)
+    cap = {c["procs"]: c["effective_parallelism"] for c in capacity}
+    cap_ceiling = None
+    if n_small in cap and n_big in cap and cap[n_small]:
+        cap_ceiling = round((cap[n_big] / cap[n_small]) / factor, 4)
     summary = {
         "metric": f"encode scaling efficiency local[{n_small}] -> "
         f"local[{n_big}] (N -> {factor:.0f}N)",
@@ -419,6 +426,7 @@ def run_scaling(n_rows: int, n_small: int = 2, n_big: int = 8,
         "decode_tokens_per_sec_4n": results[n_big]["decode_tokens_per_sec"],
         "compression_ratio": results[n_small]["compression_ratio"],
         "host_capacity": capacity,
+        "capacity_ceiling": cap_ceiling,
         "passes_0.8": eff >= 0.8,
     }
     write_bench_md(summary)
@@ -611,7 +619,12 @@ therefore local[{ns}] -> local[{nb}] — both inside real capacity, same
 **Scaling efficiency = (tp_4N / tp_N) / 4 = {s['value']}** (target >= 0.8:
 {"PASS" if s['passes_0.8'] else "FAIL"}). Legs run interleaved,
 best-of-3 each; a super-linear reading means residual shared-host
-contention still taxed the small leg.
+contention still taxed the small leg. The capacity probe above puts
+this window's HOST ceiling — what a perfectly scaling job could score,
+(eff_par(4N) / eff_par(N)) / 4 — at
+**{s.get('capacity_ceiling', 'n/a')}**; readings track the window's
+ceiling, so compare the two before reading a low number as an engine
+property.
 
 Note: the timed region must dominate fixed per-job overheads for this
 metric to mean anything — at 200k rows the (now much faster) encoder
