@@ -831,6 +831,13 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(toks, 64, order_col="doc_id", group_cols=("source",))
 
 
+def q_token_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most frequent whitespace tokens per source (corpus
+    vocabulary analysis): map-side partial counts, then a per-group
+    rank over the tiny aggregate. Ties break by token ascending."""
+    return tx.token_freq_topk(_read(spark, sf_dir, "documents"), 10)
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.lang_id(_read(spark, sf_dir, "documents"))
 
@@ -1097,6 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
+        "token_freq_topk": q_token_freq_topk,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "minhash_signature": q_minhash_signature,
@@ -1342,13 +1350,25 @@ WITH toks AS (
   SELECT source, seq_id, st,
          list_slice(tokens,
             (greatest(seq_id*64, st) - st + 1)::INT,
-            (least((seq_id+1)*64, e) - st)::INT) AS frag
+            (least((seq_id+1)*64, e) - st)::INT) AS frag,
+         (greatest(seq_id*64, st) - seq_id*64)::INT AS p
   FROM s
 )
 SELECT source, seq_id,
        flatten(list(frag ORDER BY st)) AS seq_tokens,
+       list(p ORDER BY st) AS doc_starts,
        len(flatten(list(frag ORDER BY st)))::BIGINT AS n_tok
 FROM f GROUP BY source, seq_id
+""",
+        "token_freq_topk": f"""
+WITH w AS (
+  SELECT source, unnest({_WS}) AS token FROM documents
+), c AS (
+  SELECT source, token, count(*)::BIGINT AS cnt FROM w GROUP BY source, token
+)
+SELECT source, token, cnt,
+       row_number() OVER (PARTITION BY source ORDER BY cnt DESC, token)::BIGINT AS rank
+FROM c QUALIFY rank <= 10
 """,
         "text_quality": f"""
 WITH base AS (

@@ -84,10 +84,13 @@ def pack_sequences(
     Semantics: within each ``group_cols`` value, concatenate documents'
     tokens in ``order_col`` order into one virtual stream and split it
     every ``seq_len`` tokens. Output one row per sequence:
-    ``(*group_cols, seq_id, seq_tokens, n_tok)`` where ``n_tok <
-    seq_len`` only for the trailing partial sequence (dropped when
-    ``drop_last``). Deterministic: same input ⇒ same sequences at any
-    parallelism.
+    ``(*group_cols, seq_id, seq_tokens, doc_starts, n_tok)`` where
+    ``doc_starts`` lists each document segment's offset inside the
+    sequence (the cu_seqlens attention-mask metadata; a document
+    continuing from the previous sequence contributes offset 0) and
+    ``n_tok < seq_len`` only for the trailing partial sequence (dropped
+    when ``drop_last``). Deterministic: same input ⇒ same sequences at
+    any parallelism.
 
     Plan shape: window cumsum assigns each document its [start, end)
     offset in the stream; ``F.sequence`` enumerates only the sequences
@@ -135,19 +138,35 @@ def pack_sequences(
         (lo - F.col("__start") + 1).cast("int"),
         (hi - lo).cast("int"),
     )
+    # each fragment is one document segment; its position inside the
+    # sequence (lo - seq_id*L) becomes a doc boundary — the cu_seqlens
+    # metadata attention masking needs to not attend across documents.
+    # A document continuing from the previous sequence starts at 0.
+    sorted_frags = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("__o"),
+                F.col("__f"),
+                F.col("__p").cast("int").alias("__p"),
+            )
+        )
+    )
     packed = (
-        d.select(*gcols, "seq_id", F.col("__start").alias("__o"), frag.alias("__f"))
+        d.select(
+            *gcols, "seq_id",
+            F.col("__start").alias("__o"),
+            frag.alias("__f"),
+            (lo - F.col("seq_id") * L).alias("__p"),
+        )
         .groupBy(*gcols, "seq_id")
         .agg(
             F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct(F.col("__o"), F.col("__f")))),
-                    lambda s: s["__f"],
-                )
-            ).alias("seq_tokens")
+                F.transform(sorted_frags, lambda s: s["__f"])
+            ).alias("seq_tokens"),
+            F.transform(sorted_frags, lambda s: s["__p"]).alias("doc_starts"),
         )
         .withColumn("n_tok", F.size("seq_tokens").cast("long"))
     )
     if drop_last:
         packed = packed.where(F.col("n_tok") == int(seq_len))
-    return packed.select(*gcols, "seq_id", "seq_tokens", "n_tok")
+    return packed.select(*gcols, "seq_id", "seq_tokens", "doc_starts", "n_tok")

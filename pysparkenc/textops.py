@@ -137,6 +137,40 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return tmp.select("doc_id", pred.alias("lang_pred"), best.cast("long").alias("marker_hits"))
 
 
+def token_freq_topk(
+    df: DataFrame,
+    k: int = 10,
+    *,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Top-k most frequent tokens per group (vocabulary / frequency
+    analysis over a corpus — the "what does this source actually say"
+    pass of a training-data pipeline).
+
+    Plan shape at scale: explode → hash-aggregate with MAP-SIDE partial
+    counts (Catalyst combines per partition before the shuffle, so
+    shuffle volume is distinct (group, token) pairs per partition, not
+    the token stream), then a per-group top-k window over the already
+    tiny aggregate. Ties break by token ascending — fully deterministic.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.col(group_col), F.explode(words(F.col(text_col))).alias("token"))
+        .groupBy(group_col, "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("cnt").desc(), F.col("token").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= int(k))
+        .select(group_col, "token", "cnt", "rank")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Order-sensitive rolling document fingerprint.
 

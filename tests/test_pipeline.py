@@ -118,3 +118,27 @@ def test_pack_shards_partition_the_stream(spark, tokens_df):
     kb = {(r["source"], r["pack_shard"], r["seq_id"]): list(r["seq_tokens"])
           for r in again.collect()}
     assert ka == kb
+
+
+def test_pack_doc_starts_mark_segment_boundaries(spark, tokens_df):
+    L = 128
+    packed = pack_sequences(tokens_df, L).collect()
+    rows = tokens_df.select("source", "doc_id", "tokens").collect()
+    # pure-Python reference: per source, doc offsets in the concat stream
+    for src in {r["source"] for r in rows}:
+        docs = sorted((r for r in rows if r["source"] == src),
+                      key=lambda r: r["doc_id"])
+        spans, off = [], 0
+        for r in docs:
+            if r["tokens"]:
+                spans.append((off, off + len(r["tokens"])))
+                off += len(r["tokens"])
+        want: dict[int, list[int]] = {}
+        for st, en in spans:
+            for sid in range(st // L, (en - 1) // L + 1):
+                want.setdefault(sid, []).append(max(st, sid * L) - sid * L)
+        got = {r["seq_id"]: sorted(r["doc_starts"])
+               for r in packed if r["source"] == src}
+        assert got == {k: sorted(v) for k, v in want.items()}
+        # every sequence starts a segment at 0 (continuation or fresh doc)
+        assert all(min(v) == 0 for v in got.values())
