@@ -831,6 +831,16 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(toks, 64, order_col="doc_id", group_cols=("source",))
 
 
+def q_event_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event_type — the batch run
+    of the SAME expression the streaming path uses with a watermark
+    (pysparkenc.streaming.windowed_counts). Sums are exact integer cents
+    so the hash gate is float-order-independent."""
+    from pysparkenc.streaming import windowed_counts
+
+    return windowed_counts(_read(spark, sf_dir, "events"))
+
+
 def q_token_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 most frequent whitespace tokens per source (corpus
     vocabulary analysis): map-side partial counts, then a per-group
@@ -1105,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
         "token_freq_topk": q_token_freq_topk,
+        "event_window_counts": q_event_window_counts,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "minhash_signature": q_minhash_signature,
@@ -1360,6 +1371,12 @@ SELECT source, seq_id,
        len(flatten(list(frag ORDER BY st)))::BIGINT AS n_tok
 FROM f GROUP BY source, seq_id
 """,
+        "event_window_counts": (
+            "SELECT event_type, date_trunc('hour', ts) AS window_start, "
+            "count(*)::BIGINT AS n_events, "
+            "sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents "
+            "FROM events GROUP BY event_type, date_trunc('hour', ts)"
+        ),
         "token_freq_topk": f"""
 WITH w AS (
   SELECT source, unnest({_WS}) AS token FROM documents

@@ -23,9 +23,53 @@ micro-batch boundary.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from .lineage import encode_with_lineage
+
+
+def windowed_counts(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    window: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling-window counts + sums per key — the standard streaming
+    aggregation shape (event-time windows, late data bounded by the
+    watermark), written so the SAME expression runs in batch and in
+    Structured Streaming:
+
+    - batch: leave ``watermark=None``; the result is a plain groupBy and
+      carries a full SQL oracle (``event_window_counts``).
+    - streaming: pass e.g. ``watermark="2 hours"``; events later than
+      the watermark are dropped, windows finalize incrementally, and the
+      state store holds only open windows (bounded memory at any rate).
+
+    Sums are emitted as exact integer cents (``sum_cents``) rather than
+    a float sum: double addition is order-dependent, and this operator's
+    contract is value-hash equality across engines and parallelism.
+    """
+    d = df
+    if watermark is not None:
+        d = d.withWatermark(ts_col, watermark)
+    return (
+        d.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col(value_col) * 100).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+        )
+        .select(
+            F.col(key_col),
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "sum_cents",
+        )
+    )
 
 
 def encode_stream(

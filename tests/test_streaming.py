@@ -3,6 +3,8 @@ exactly-once across the two mechanisms (stream checkpoint + lineage commit)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from pysparkenc.engine import decode_table
 from pysparkenc.lineage import read_committed_chunks
 from pysparkenc.streaming import encode_stream
@@ -162,3 +164,45 @@ def test_stream_rejects_batch_frame(spark, tmp_path):
     df = make_tokens_table(spark, 10, seed=1)
     with pytest.raises(ValueError, match="streaming DataFrame"):
         encode_stream(df, str(tmp_path / "x"), checkpoint=str(tmp_path / "cp"))
+
+
+def test_windowed_counts_stream_matches_batch(spark, tmp_path):
+    """The same windowed_counts expression runs in batch and streaming;
+    with availableNow + complete mode the streaming result over the
+    full file set must equal the batch aggregate exactly."""
+    from pysparkenc.streaming import windowed_counts
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    # watermarks require TIMESTAMP (event time); parquet infers NTZ here,
+    # so cast identically on both sides of the comparison
+    batch_df = spark.read.parquet(src).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    want = {
+        (r["event_type"], r["window_start"]): (r["n_events"], r["sum_cents"])
+        for r in windowed_counts(batch_df).collect()
+    }
+    assert want  # non-trivial input
+
+    # the file stream source tails a DIRECTORY
+    src_dir = str(tmp_path / "events")
+    spark.read.parquet(src).write.parquet(src_dir)
+    raw_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(raw_schema).parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        windowed_counts(stream, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_type"], r["window_start"]): (r["n_events"], r["sum_cents"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert got == want
