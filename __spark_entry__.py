@@ -841,6 +841,24 @@ def q_event_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_counts(_read(spark, sf_dir, "events"))
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min timeout) over the event stream:
+    lag → boundary flag → running-sum session ordinal → per-session
+    aggregate. One shuffle by user; the session groupBy reuses the
+    window's partitioning (no second exchange)."""
+    from pysparkenc.events import sessionize
+
+    return sessionize(_read(spark, sf_dir, "events"))
+
+
+def q_event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type stats over the JSON props column — extraction via
+    get_json_object stays inside codegen; exact integer aggregates."""
+    from pysparkenc.events import props_stats
+
+    return props_stats(_read(spark, sf_dir, "events"))
+
+
 def q_token_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 most frequent whitespace tokens per source (corpus
     vocabulary analysis): map-side partial counts, then a per-group
@@ -1116,6 +1134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "token_freq_topk": q_token_freq_topk,
         "event_window_counts": q_event_window_counts,
+        "sessionize": q_sessionize,
+        "event_props_stats": q_event_props_stats,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "minhash_signature": q_minhash_signature,
@@ -1371,6 +1391,32 @@ SELECT source, seq_id,
        len(flatten(list(frag ORDER BY st)))::BIGINT AS n_tok
 FROM f GROUP BY source, seq_id
 """,
+        "sessionize": """
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), f AS (
+  SELECT *, CASE WHEN prev IS NULL
+    OR floor(epoch(ts))::BIGINT - floor(epoch(prev))::BIGINT > 1800
+    THEN 1 ELSE 0 END AS brk FROM o
+), s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id FROM f
+)
+SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+  count(*)::BIGINT AS n_events,
+  sum(round(value*100)::BIGINT)::BIGINT AS sum_cents,
+  (floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT) AS duration_sec
+FROM s GROUP BY user_id, session_id
+""",
+        "event_props_stats": (
+            "SELECT event_type, count(v)::BIGINT AS n_with_key, "
+            "sum(v)::BIGINT AS sum_val, min(v)::BIGINT AS min_val, "
+            "max(v)::BIGINT AS max_val FROM (SELECT event_type, "
+            "TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS v "
+            "FROM events) GROUP BY event_type"
+        ),
         "event_window_counts": (
             "SELECT event_type, date_trunc('hour', ts) AS window_start, "
             "count(*)::BIGINT AS n_events, "
