@@ -841,6 +841,37 @@ def q_event_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_counts(_read(spark, sf_dir, "events"))
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation, composed from the library's
+    own stages: quality gate (>= 30 tokens AND some stopwords) →
+    deterministic 50% sample → BPE-hash tokenization → pack into
+    128-token sequences → per-source sequence counts. Every stage is
+    individually oracle-verified; this query pins that they COMPOSE
+    (the output hash covers filter selectivity, sample membership,
+    tokenization, and packing together)."""
+    from pysparkenc.pipeline import pack_sequences, stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    q = tx.quality_score(docs).where(
+        (F.col("n_tokens") >= 30) & (F.col("stop_ppm") > 0)
+    )
+    kept = docs.join(q.select("doc_id"), "doc_id")
+    sampled = stratified_sample(kept, {}, default_ppm=500_000, salt="cur")
+    toks = sampled.select(
+        "source", "doc_id",
+        F.transform(
+            F.regexp_extract_all("text", F.lit(tx.BPE_PATTERN), F.lit(0)),
+            lambda w: tx.portable_hash31(w),
+        ).alias("tokens"),
+    )
+    packed = pack_sequences(toks, 128, order_col="doc_id",
+                            group_cols=("source",))
+    return packed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_seqs"),
+        F.sum("n_tok").cast("long").alias("n_tokens_packed"),
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min timeout) over the event stream:
     lag → boundary flag → running-sum session ordinal → per-session
@@ -1135,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_freq_topk": q_token_freq_topk,
         "event_window_counts": q_event_window_counts,
         "sessionize": q_sessionize,
+        "curation_pipeline": q_curation_pipeline,
         "event_props_stats": q_event_props_stats,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1391,6 +1423,41 @@ SELECT source, seq_id,
        len(flatten(list(frag ORDER BY st)))::BIGINT AS n_tok
 FROM f GROUP BY source, seq_id
 """,
+        "curation_pipeline": r"""
+WITH ws AS (
+  SELECT doc_id, source, text,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+  FROM documents
+), q AS (
+  SELECT doc_id, source, text FROM ws
+  WHERE len(w) >= 30
+    AND len(list_filter(w, x -> list_contains([__STOPS__], lower(x)))) > 0
+), samp AS (
+  SELECT doc_id, source, text FROM q
+  WHERE (CAST('0x'||substring(md5(doc_id::VARCHAR || 'cur'),1,15) AS BIGINT)
+         % 1000000) < 500000
+), toks AS (
+  SELECT source, doc_id,
+         list_transform(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]', 0),
+            x -> CAST('0x'||substring(md5(x),1,15) AS BIGINT) % 2147483647) AS tokens
+  FROM samp
+), d AS (
+  SELECT source, doc_id, tokens, len(tokens)::BIGINT AS n,
+         sum(len(tokens)) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING)::BIGINT AS e
+  FROM toks WHERE len(tokens) > 0
+), s AS (
+  SELECT source, e - n AS st, e,
+         unnest(generate_series((e-n)//128, (e-1)//128)) AS seq_id
+  FROM d
+), f AS (
+  SELECT source, seq_id,
+         sum(least((seq_id+1)*128, e) - greatest(seq_id*128, st))::BIGINT AS n_tok
+  FROM s GROUP BY source, seq_id
+)
+SELECT source, count(*)::BIGINT AS n_seqs, sum(n_tok)::BIGINT AS n_tokens_packed
+FROM f GROUP BY source
+""".replace("__STOPS__", stop_list),
         "sessionize": """
 WITH o AS (
   SELECT user_id, event_id, ts, value,

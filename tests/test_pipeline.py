@@ -142,3 +142,35 @@ def test_pack_doc_starts_mark_segment_boundaries(spark, tokens_df):
         assert got == {k: sorted(v) for k, v in want.items()}
         # every sequence starts a segment at 0 (continuation or fresh doc)
         assert all(min(v) == 0 for v in got.values())
+
+
+def test_pack_randomized_against_python_reference(spark):
+    """Seeded randomized shapes (empty docs, tiny/huge seq_len, single
+    doc, doc >> seq_len) vs a pure-Python packer."""
+    import numpy as np
+
+    rng = np.random.default_rng(99)
+    for trial in range(4):
+        n_docs = int(rng.integers(1, 40))
+        seq_len = int(rng.integers(1, 50))
+        rows = []
+        for i in range(n_docs):
+            n = int(rng.integers(0, 120))  # 0 => doc dropped by packer
+            toks = [int(t) for t in rng.integers(0, 1000, n)]
+            rows.append((f"d{i:04d}", toks, len(toks), f"s{int(rng.integers(0, 3))}"))
+        df = spark.createDataFrame(
+            rows, "doc_id string, tokens array<int>, n_tok int, source string"
+        )
+        got = {
+            (r["source"], r["seq_id"]): list(r["seq_tokens"])
+            for r in pack_sequences(df, seq_len).collect()
+        }
+        want = {}
+        for src in {r[3] for r in rows}:
+            stream = []
+            for r in sorted(rows, key=lambda r: r[0]):
+                if r[3] == src:
+                    stream.extend(r[1])
+            for sid in range((len(stream) + seq_len - 1) // seq_len):
+                want[(src, sid)] = stream[sid * seq_len:(sid + 1) * seq_len]
+        assert got == want, (trial, n_docs, seq_len)
