@@ -19,6 +19,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from .kernels.alp import alp_decode, alp_encode
 from .kernels.bss import bss_decode, bss_encode
 from .kernels.bytearray import (
     delta_ba_decode,
@@ -164,6 +165,8 @@ def encode_numeric(
         data = plain_encode_numeric(values, dtype)
     elif codec == "bss":
         data = bss_encode(values, dtype)
+    elif codec == "alp":
+        data = alp_encode(values, dtype)
     elif codec == "delta_bp":
         width = 32 if dtype == "int32" else 64
         data = delta_bp_encode(values, width=width)
@@ -319,6 +322,8 @@ def decode_numeric(chunk: dict) -> np.ndarray:
         return plain_decode_numeric(data, dtype, n)
     if codec == "bss":
         return bss_decode(data, dtype, n)
+    if codec == "alp":
+        return alp_decode(data, dtype, n)
     if codec == "delta_bp":
         width = 32 if dtype == "int32" else 64
         vals, _ = delta_bp_decode(data, width=width)

@@ -43,7 +43,7 @@ from .kernels.rle import hybrid_encoded_size
 SAMPLE_VALUES = 1 << 16  # selector decisions made on at most 64Ki values
 
 INT_CANDIDATES = ("plain", "delta_bp", "dict_rle", "for_rle")
-FLOAT_CANDIDATES = ("plain", "dict_rle")
+FLOAT_CANDIDATES = ("plain", "dict_rle", "alp")
 BOOL_CANDIDATES = ("bool_plain", "bool_rle")
 BYTES_CANDIDATES = (
     "ba_plain", "ba_fixed", "ba_delta_len", "ba_delta", "dict_rle", "fsst"
@@ -99,6 +99,15 @@ def select_numeric(
     if is_int:
         width = 32 if dtype == "int32" else 64
         sizes["delta_bp"] = int(delta_bp_encoded_size(s, width=width) * scale)
+    else:
+        # ALP: decimal doubles/floats as FOR-bitpacked scaled ints with
+        # bit-exact exceptions — viable only when the sample is mostly
+        # decimal (None otherwise, e.g. random embeddings)
+        from .kernels.alp import alp_encoded_size
+
+        asz = alp_encoded_size(s, dtype)
+        if asz is not None:
+            sizes["alp"] = int(asz * scale)
 
     # dictionary: only pursue when the sample looks low-cardinality
     uniq = np.unique(s)

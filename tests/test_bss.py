@@ -60,15 +60,27 @@ def test_roundtrip_property(xs):
 
 
 def test_selector_prefers_bss_under_compression():
-    # similar-magnitude floats: exponent/sign bytes nearly constant ->
-    # bss + gzip crushes them; without compression bss must NOT be chosen
+    # similar-magnitude DOUBLES: exponent/sign bytes nearly constant ->
+    # bss + gzip crushes them; without compression bss must NOT be chosen.
+    # (float64 gaussians also defeat ALP: no exponent reconstructs the
+    # full 52-bit mantissa, so bss has no lightweight competitor here.)
+    rng = np.random.default_rng(1)
+    vals = rng.normal(1000.0, 1.0, 50_000)
+    plain_choice = select_numeric(vals, "float64", compression=None)
+    assert plain_choice.codec != "bss"
+    comp_choice = select_numeric(vals, "float64", compression="gzip")
+    assert comp_choice.codec == "bss"
+
+
+def test_alp_beats_bss_on_fixed_magnitude_float32():
+    # float32 at one magnitude holds ~24 information bits; ALP at a high
+    # exponent stores them bit-exactly in fewer than 32 packed bits, so
+    # it beats both plain AND the bss+compression route outright
     rng = np.random.default_rng(1)
     vals = (rng.normal(1000.0, 1.0, 50_000)).astype(np.float32)
-    plain_choice = select_numeric(vals, "float32", compression=None)
-    assert plain_choice.codec != "bss"
-    comp_choice = select_numeric(vals, "float32", compression="gzip")
-    assert comp_choice.codec == "bss"
-    assert comp_choice.sizes["bss"] < comp_choice.sizes["plain"]
+    ch = select_numeric(vals, "float32", compression="gzip")
+    assert ch.codec == "alp"
+    assert ch.sizes["alp"] < vals.nbytes
 
 
 def test_chunk_roundtrip_with_compression():
