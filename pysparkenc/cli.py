@@ -70,6 +70,7 @@ def cmd_encode(args: argparse.Namespace) -> int:
         rows_per_chunk=args.rows_per_chunk,
         target_chunk_bytes=args.target_chunk_bytes,
         sort_by=_parse_partition_by(args.sort_by),
+        bloom=_parse_partition_by(args.bloom),
         resume=args.resume,
     )
     print(json.dumps(metrics))
@@ -148,6 +149,10 @@ def main(argv: list[str] | None = None) -> int:
                      help="cluster rows inside each partition before "
                           "chunking (local sort, no shuffle) — longer "
                           "runs / smaller deltas for the codecs")
+    enc.add_argument("--bloom", default=None,
+                     help="comma-separated chunk paths to cover with "
+                          "split-block bloom filters (decisive equality/IN "
+                          "pruning on high-cardinality columns)")
     enc.add_argument("--columns", default=None)
     enc.add_argument("--resume", action=argparse.BooleanOptionalAction,
                      default=True)

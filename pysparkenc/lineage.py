@@ -161,6 +161,7 @@ def encode_with_lineage(
     rows_per_chunk: int | None = 4096,
     target_chunk_bytes: int | None = None,
     sort_by: tuple[str, ...] | None = None,
+    bloom: tuple[str, ...] | None = None,
     resume: bool = True,
     drop_part_ids: frozenset[int] | None = None,
     batch_id: int | None = None,
@@ -209,7 +210,7 @@ def encode_with_lineage(
     chunks = encode_table(
         df, partition_by=partition_by, num_partitions=num_partitions,
         codec=codec, compression=compression, rows_per_chunk=rows_per_chunk,
-        target_chunk_bytes=target_chunk_bytes, sort_by=sort_by,
+        target_chunk_bytes=target_chunk_bytes, sort_by=sort_by, bloom=bloom,
     )
     skipped = 0
     if resume:

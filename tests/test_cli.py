@@ -100,3 +100,20 @@ def test_history_and_as_of_run_cli(spark, tmp_path, capsys):
                  "--as-of-run", "1"]) == 0
     n1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["rows"]
     assert 0 < n1 < 200
+
+
+def test_encode_with_bloom_cli(spark, tmp_path, capsys):
+    src = str(tmp_path / "src")
+    enc = str(tmp_path / "enc")
+    make_tokens_table(spark, 150, seed=17).write.parquet(src)
+    assert main(["encode", "--input", src, "--output", enc,
+                 "--bloom", "doc_id"]) == 0
+    capsys.readouterr()
+    import pyspark.sql.functions as F
+
+    chunks = spark.read.parquet(enc + "/chunks")
+    with_bloom = chunks.where(
+        (F.col("col") == "doc_id") & (F.length("bloom") > 0)
+    ).count()
+    assert with_bloom > 0
+    assert main(["verify", "--original", src, "--encoded", enc]) == 0
