@@ -872,6 +872,21 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_pushdown_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregate pushdown: COUNT/SUM/MIN/MAX of four
+    lineitem int columns answered purely from chunk footer stats (exact
+    per-chunk sums recorded at encode) — the payload is never decoded."""
+    from pysparkenc.engine import aggregate_chunks
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"
+    )
+    chunks = encode_table(li, num_partitions=8)
+    return aggregate_chunks(
+        chunks, ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min timeout) over the event stream:
     lag → boundary flag → running-sum session ordinal → per-session
@@ -1167,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_window_counts": q_event_window_counts,
         "sessionize": q_sessionize,
         "curation_pipeline": q_curation_pipeline,
+        "agg_pushdown_stats": q_agg_pushdown_stats,
         "event_props_stats": q_event_props_stats,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1458,6 +1474,12 @@ WITH ws AS (
 SELECT source, count(*)::BIGINT AS n_seqs, sum(n_tok)::BIGINT AS n_tokens_packed
 FROM f GROUP BY source
 """.replace("__STOPS__", stop_list),
+        "agg_pushdown_stats": "\nUNION ALL\n".join(
+            f"SELECT '{c}' AS col, count({c})::BIGINT AS n_values, "
+            f"sum({c})::BIGINT AS sum_val, min({c})::DOUBLE AS min_val, "
+            f"max({c})::DOUBLE AS max_val FROM lineitem"
+            for c in ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+        ),
         "sessionize": """
 WITH o AS (
   SELECT user_id, event_id, ts, value,

@@ -192,6 +192,12 @@ def encode_numeric(
         raise ValueError(f"unknown numeric codec {codec}")
 
     vmin_f, vmax_f = _stats_numeric(values)
+    if n and dtype.startswith("int"):
+        # exact per-chunk sum (Python int: immune to int64 overflow at
+        # page scale) — enables metadata-only SUM/COUNT aggregate
+        # pushdown (engine.aggregate_chunks); ints only, float sums are
+        # order-dependent and would break bit-for-bit contracts
+        extra["sum"] = int(values.astype(object).sum())
     bloom = b""
     if bloom_fpp is not None and n:
         from .kernels.bloom import bloom_build, hash_numeric

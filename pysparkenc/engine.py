@@ -1280,6 +1280,38 @@ def decode_table(
     )
 
 
+def aggregate_chunks(chunks_df: DataFrame, cols: list[str]) -> DataFrame:
+    """Metadata-only aggregate pushdown: COUNT / SUM / MIN / MAX of the
+    named scalar columns answered from footer stats alone — payload
+    bytes are never decoded (the plan has no Arrow/Python stage), so a
+    100 TB store answers in one tiny metadata scan.
+
+    Semantics match SQL aggregates over the decoded table: ``n_values``
+    of a value chunk counts only present (non-null) values, ``num_min``/
+    ``num_max`` are NaN-safe chunk stats, and ``sum_val`` folds the
+    exact per-chunk integer sums the encoder records (int columns only —
+    float sums are order-dependent; ``sum_val`` is null when any chunk
+    lacks one). The reference's stats layer has min/max/null-count but
+    no sums (``datastore/column.go``), so this pushdown has no analogue
+    there.
+    """
+    s = F.get_json_object("extra", "$.sum").cast("long")
+    meta = chunks_df.where(F.col("col").isin(list(cols))).select(
+        "col", "n_values", "num_min", "num_max",
+        s.alias("__s"),
+        # a non-empty chunk without a recorded sum poisons SUM
+        F.when((F.col("n_values") > 0) & s.isNull(), F.lit(1))
+        .otherwise(F.lit(0)).alias("__nosum"),
+    )
+    return meta.groupBy("col").agg(
+        F.sum("n_values").cast("long").alias("n_values"),
+        F.when(F.sum("__nosum") == 0, F.sum("__s"))
+        .cast("long").alias("sum_val"),
+        F.min("num_min").alias("min_val"),
+        F.max("num_max").alias("max_val"),
+    )
+
+
 def footer(chunks_df: DataFrame) -> DataFrame:
     """Footer-style metadata view: every chunk's stats, no payload bytes
     (the queryable analogue of the reference's thrift FileMetaData,

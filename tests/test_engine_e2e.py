@@ -262,3 +262,25 @@ def test_sort_by_clusters_and_shrinks(spark):
     want = {(r["k"], r["cat"], r["v"]) for r in df.collect()}
     assert got == want
     df.unpersist()
+
+
+def test_aggregate_pushdown_matches_sql_semantics(spark):
+    """COUNT skips nulls, SUM is exact over the present values, MIN/MAX
+    agree — checked against the decoded truth on a nullable int column."""
+    from pysparkenc.engine import aggregate_chunks
+
+    rows = [(i, None if i % 7 == 0 else (i - 500) * 1_000_003)
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    chunks = encode_table(df, num_partitions=4, rows_per_chunk=256)
+    (got,) = aggregate_chunks(chunks, ["v"]).collect()
+    vals = [v for _, v in rows if v is not None]
+    assert got["n_values"] == len(vals)
+    assert got["sum_val"] == sum(vals)
+    assert got["min_val"] == float(min(vals))
+    assert got["max_val"] == float(max(vals))
+    # float columns carry no exact sum: sum_val must be null, not wrong
+    dff = spark.createDataFrame([(float(i) / 3,) for i in range(100)], "x double")
+    (gf,) = aggregate_chunks(encode_table(dff, num_partitions=2), ["x"]).collect()
+    assert gf["sum_val"] is None
+    assert gf["n_values"] == 100

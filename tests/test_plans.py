@@ -228,3 +228,23 @@ def test_stratified_sample_is_narrow_codegen_filter(docs):
     assert "Exchange" not in plan  # pure filter, no shuffle
     assert "BatchEvalPython" not in plan
     assert "*(1)" in plan  # whole-stage codegen
+
+
+def test_aggregate_pushdown_never_touches_payload(spark, tmp_path):
+    """aggregate_chunks answers from footer stats: on a parquet-backed
+    chunk store the scan must prune the binary payload columns entirely
+    and the plan must contain no Arrow/Python stage."""
+    from pysparkenc.engine import aggregate_chunks, encode_table
+    from pysparkenc.synth import make_tokens_table
+
+    df = make_tokens_table(spark, 400, seed=3).select("doc_id", "n_tok")
+    encode_table(df, num_partitions=4).write.parquet(str(tmp_path / "c"))
+    chunks = spark.read.parquet(str(tmp_path / "c"))
+    agg = aggregate_chunks(chunks, ["n_tok"])
+    plan = plan_of(agg)
+    assert "MapInArrow" not in plan and "ApplyInArrow" not in plan
+    assert "BatchEvalPython" not in plan
+    # column pruning reached the scan: no payload bytes are read
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "data" not in read_schema[0]
+    assert "aux" not in read_schema[0]
