@@ -1691,6 +1691,12 @@ def _audit_one(ck: dict) -> str | None:
                     if not np.isclose(got, want, rtol=0.0, atol=0.0,
                                       equal_nan=True):
                         return f"{name}: footer {want}, decoded {got}"
+            extra_n = json.loads(ck["extra"]) if ck.get("extra") else {}
+            want_sum = extra_n.get("sum")
+            if want_sum is not None:
+                got_sum = int(vals.astype(object).sum()) if n else 0
+                if got_sum != int(want_sum):
+                    return f"sum: footer {want_sum}, decoded {got_sum}"
         elif dtype == "bool":
             vals = chunklib.decode_bool(ck)
             if vals.size != n:
