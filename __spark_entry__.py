@@ -872,6 +872,13 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding corpus (4x memory
+    reduction before ANN) — deterministic floor(x+0.5) rounding in
+    float64 so the oracle reproduces every int8 code and scale."""
+    return sim.quantize_embeddings(_read(spark, sf_dir, "embeddings"))
+
+
 def q_agg_pushdown_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only aggregate pushdown: COUNT/SUM/MIN/MAX of four
     lineitem int columns answered purely from chunk footer stats (exact
@@ -1183,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "curation_pipeline": q_curation_pipeline,
         "agg_pushdown_stats": q_agg_pushdown_stats,
+        "embedding_quantize": q_embedding_quantize,
         "event_props_stats": q_event_props_stats,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1474,6 +1482,20 @@ WITH ws AS (
 SELECT source, count(*)::BIGINT AS n_seqs, sum(n_tok)::BIGINT AS n_tokens_packed
 FROM f GROUP BY source
 """.replace("__STOPS__", stop_list),
+        "embedding_quantize": """
+WITH a AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+  FROM embeddings
+)
+SELECT vec_id, amax / 127.0 AS scale,
+  CASE WHEN amax = 0 THEN list_transform(embedding, x -> CAST(0 AS TINYINT))
+  ELSE list_transform(embedding, x ->
+    CAST(greatest(-127.0, least(127.0,
+      floor(CAST(x AS DOUBLE) / (amax / 127.0) + 0.5))) AS TINYINT)) END AS qvec,
+  len(embedding)::BIGINT AS dim
+FROM a
+""",
         "agg_pushdown_stats": "\nUNION ALL\n".join(
             f"SELECT '{c}' AS col, count({c})::BIGINT AS n_values, "
             f"sum({c})::BIGINT AS sum_val, min({c})::DOUBLE AS min_val, "

