@@ -22,6 +22,8 @@ Subcommands:
             decode + footer-stat containment per chunk); exit 1 on corrupt
     history snapshot log of a store, one JSON row per committed run;
             pair with ``decode --as-of-run`` for VERSION AS OF reads
+    stats   per-column codec mix / sizes / ratio + exact count/sum/
+            min/max for int columns — footer metadata only, no decode
 
 No master/parallelism is hard-coded: spark-submit owns the cluster shape,
 which is how the same job runs at N and 4N executors for the scaling
@@ -37,6 +39,7 @@ import sys
 from pyspark.sql import SparkSession, functions as F
 
 from .engine import (
+    aggregate_chunks,
     audit_chunks,
     decode_table,
     encode_table,
@@ -114,6 +117,45 @@ def cmd_history(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_stats(args: argparse.Namespace) -> int:
+    """Per-column store statistics from footer metadata only — codec
+    mix, sizes/ratio, and (for int columns) exact count/sum/min/max via
+    the aggregate pushdown; the payload is never decoded."""
+    spark = _session("pysparkenc-stats")
+    chunks = read_committed_chunks(spark, args.input)
+    meta = chunks.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_values").alias("n_values"),
+        F.sum("plain_bytes").alias("plain_bytes"),
+        F.sum("enc_bytes").alias("enc_bytes"),
+        F.sort_array(F.collect_set("codec")).alias("codecs"),
+    )
+    aggs = {
+        r["col"]: r
+        for r in aggregate_chunks(
+            chunks, [r["col"] for r in meta.select("col").collect()]
+        ).collect()
+    }
+    for r in sorted(meta.collect(), key=lambda r: r["col"]):
+        row = {
+            "col": r["col"],
+            "n_chunks": r["n_chunks"],
+            "n_values": r["n_values"],
+            "codecs": list(r["codecs"]),
+            "plain_bytes": r["plain_bytes"],
+            "enc_bytes": r["enc_bytes"],
+            "ratio": round(r["plain_bytes"] / max(1, r["enc_bytes"]), 4),
+        }
+        a = aggs.get(r["col"])
+        if a is not None and a["min_val"] is not None:
+            row["min"] = a["min_val"]
+            row["max"] = a["max_val"]
+            if a["sum_val"] is not None:
+                row["sum"] = a["sum_val"]
+        print(json.dumps(row))
+    return 0
+
+
 def cmd_audit(args: argparse.Namespace) -> int:
     spark = _session("pysparkenc-audit")
     chunks = spark.read.parquet(args.input)
@@ -166,6 +208,12 @@ def main(argv: list[str] | None = None) -> int:
                      help="snapshot time travel: decode the table as it "
                           "was when this run committed (VERSION AS OF)")
     dec.set_defaults(fn=cmd_decode)
+
+    stt = sub.add_parser("stats")
+    stt.add_argument("--input", required=True,
+                     help="encoded store path; one JSON row per column "
+                          "from footer metadata only (no payload decode)")
+    stt.set_defaults(fn=cmd_stats)
 
     his = sub.add_parser("history")
     his.add_argument("--input", required=True,

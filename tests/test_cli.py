@@ -117,3 +117,24 @@ def test_encode_with_bloom_cli(spark, tmp_path, capsys):
     ).count()
     assert with_bloom > 0
     assert main(["verify", "--original", src, "--encoded", enc]) == 0
+
+
+def test_stats_cli(spark, tmp_path, capsys):
+    src = str(tmp_path / "src")
+    enc = str(tmp_path / "enc")
+    make_tokens_table(spark, 180, seed=23).write.parquet(src)
+    assert main(["encode", "--input", src, "--output", enc]) == 0
+    capsys.readouterr()
+    assert main(["stats", "--input", enc]) == 0
+    rows = {r["col"]: r for r in
+            (json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines())}
+    nt = rows["n_tok"]
+    assert nt["n_values"] == 180
+    df = spark.read.parquet(src)
+    import pyspark.sql.functions as F
+
+    true = df.agg(F.sum("n_tok").alias("s"), F.min("n_tok").alias("lo"),
+                  F.max("n_tok").alias("hi")).collect()[0]
+    assert nt["sum"] == true["s"]
+    assert nt["min"] == float(true["lo"]) and nt["max"] == float(true["hi"])
+    assert rows["tokens"]["ratio"] > 1.0
