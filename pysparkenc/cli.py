@@ -83,7 +83,20 @@ def cmd_encode(args: argparse.Namespace) -> int:
 def cmd_decode(args: argparse.Namespace) -> int:
     spark = _session("pysparkenc-decode")
     chunks = read_committed_chunks(spark, args.input, as_of_run=args.as_of_run)
-    decoded = decode_table(chunks, None)
+    schema = None
+    if args.columns:
+        from pyspark.sql.types import StructType
+
+        full = output_schema_of_chunks(chunks)
+        want = [c.strip() for c in args.columns.split(",") if c.strip()]
+        by_name = {f.name: f for f in full.fields}
+        missing = [c for c in want if c not in by_name]
+        if missing:
+            print(json.dumps({"error": f"unknown columns {missing}"}),
+                  file=sys.stderr)
+            return 2
+        schema = StructType([by_name[c] for c in want])
+    decoded = decode_table(chunks, schema)
     decoded.write.mode(args.mode).parquet(args.output)
     print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
     return 0
@@ -204,6 +217,10 @@ def main(argv: list[str] | None = None) -> int:
     dec.add_argument("--input", required=True)
     dec.add_argument("--output", required=True)
     dec.add_argument("--mode", default="overwrite")
+    dec.add_argument("--columns", default=None,
+                     help="comma-separated projection; the chunk scan is "
+                          "filtered to exactly these columns' chunks "
+                          "before any decode")
     dec.add_argument("--as-of-run", type=int, default=None,
                      help="snapshot time travel: decode the table as it "
                           "was when this run committed (VERSION AS OF)")

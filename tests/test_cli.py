@@ -138,3 +138,20 @@ def test_stats_cli(spark, tmp_path, capsys):
     assert nt["sum"] == true["s"]
     assert nt["min"] == float(true["lo"]) and nt["max"] == float(true["hi"])
     assert rows["tokens"]["ratio"] > 1.0
+
+
+def test_decode_columns_projection_cli(spark, tmp_path, capsys):
+    src = str(tmp_path / "src")
+    enc = str(tmp_path / "enc")
+    out = str(tmp_path / "out")
+    make_tokens_table(spark, 120, seed=29).write.parquet(src)
+    assert main(["encode", "--input", src, "--output", enc]) == 0
+    capsys.readouterr()
+    assert main(["decode", "--input", enc, "--output", out,
+                 "--columns", "doc_id,n_tok"]) == 0
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"doc_id", "n_tok"}
+    assert got.count() == 120
+    capsys.readouterr()
+    assert main(["decode", "--input", enc, "--output", out,
+                 "--columns", "doc_id,nope"]) == 2
