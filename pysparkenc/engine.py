@@ -1294,6 +1294,11 @@ def aggregate_chunks(chunks_df: DataFrame, cols: list[str]) -> DataFrame:
     lacks one). The reference's stats layer has min/max/null-count but
     no sums (``datastore/column.go``), so this pushdown has no analogue
     there.
+
+    Precision note: ``min_val``/``max_val`` come from the float64 stat
+    columns, exact for every int up to 2^53; ``sum_val`` has no such
+    bound (the per-chunk sums are arbitrary-precision ints folded as
+    longs).
     """
     s = F.get_json_object("extra", "$.sum").cast("long")
     meta = chunks_df.where(F.col("col").isin(list(cols))).select(

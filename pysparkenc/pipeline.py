@@ -59,9 +59,18 @@ def stratified_sample(
     mixture-weighting step of a training-data pipeline, as a narrow
     codegen filter with zero shuffle.
     """
-    rate = F.lit(int(default_ppm))
-    for stratum, ppm in sorted(rates_ppm.items()):
-        rate = F.when(F.col(stratum_col) == stratum, F.lit(int(ppm))).otherwise(rate)
+    if rates_ppm:
+        # one map literal + element_at, not a nested CASE chain: stays a
+        # single O(1)-lookup expression even with thousands of strata
+        pairs: list = []
+        for stratum, ppm in sorted(rates_ppm.items()):
+            pairs += [F.lit(stratum), F.lit(int(ppm))]
+        rate = F.coalesce(
+            F.element_at(F.create_map(*pairs), F.col(stratum_col)),
+            F.lit(int(default_ppm)),
+        )
+    else:
+        rate = F.lit(int(default_ppm))
     draw = F.pmod(
         portable_hash60(F.concat(F.col(key_col).cast("string"), F.lit(salt))),
         F.lit(PPM),
