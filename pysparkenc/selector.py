@@ -14,7 +14,10 @@ Candidate sets mirror the reference's per-type encoding whitelists:
   ``int64.go:24``) + dictionary (``allowDict``, ``datastore/column.go:55``)
   + FOR/RLE-hybrid (the hybrid is how the reference stores any bounded-range
   int stream, e.g. dict indices and levels);
-- FLOAT/DOUBLE: PLAIN (``float.go:24``, ``double.go:24``) + dictionary;
+- FLOAT/DOUBLE: PLAIN (``float.go:24``, ``double.go:24``) + dictionary
+  + ALP (decimal scaled-int, kernels/alp.py) + BYTE_STREAM_SPLIT under
+  block compression (both north-star additions — the reference never
+  compresses floats);
 - BOOLEAN: PLAIN, RLE (``datastore/boolean.go:15``; dict disallowed ``:24``);
 - BYTE_ARRAY: PLAIN, DELTA_LENGTH, DELTA (``byte-array.go:19,36``)
   + dictionary + FSST (north-star addition).

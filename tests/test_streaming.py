@@ -206,3 +206,39 @@ def test_windowed_counts_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM win_counts").collect()
     }
     assert got == want
+
+
+def test_time_travel_over_streamed_micro_batches(spark, tmp_path):
+    """Each micro-batch commit is a snapshot: as_of_run after the first
+    drain shows exactly batch 1's rows even after batch 2 lands."""
+    from pysparkenc.lineage import snapshots
+
+    src = str(tmp_path / "src")
+    enc = str(tmp_path / "enc")
+    cp = str(tmp_path / "cp")
+    full = make_tokens_table(spark, 300, seed=61)
+    idx = F.substring("doc_id", -12, 12).cast("long")
+    full.where(idx < 200).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain():
+        encode_stream(
+            spark.readStream.schema(schema).parquet(src), enc,
+            checkpoint=cp, partition_by=("source", "doc_id"),
+            num_partitions=4,
+        ).awaitTermination()
+
+    drain()
+    run1 = max(r["run_id"] for r in snapshots(spark, enc).collect())
+    n1 = decode_table(read_committed_chunks(spark, enc), schema).count()
+
+    full.where(idx >= 200).write.mode("append").parquet(src)
+    drain()
+    assert decode_table(read_committed_chunks(spark, enc), schema).count() == 300
+    snap = decode_table(
+        read_committed_chunks(spark, enc, as_of_run=run1), schema
+    )
+    assert snap.count() == n1
+    ids = {r["doc_id"] for r in snap.select("doc_id").collect()}
+    want = {r["doc_id"] for r in full.where(idx < 200).collect()}
+    assert ids == want
