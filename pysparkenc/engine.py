@@ -1296,21 +1296,35 @@ def aggregate_chunks(chunks_df: DataFrame, cols: list[str]) -> DataFrame:
     there.
 
     Precision note: ``min_val``/``max_val`` come from the float64 stat
-    columns, exact for every int up to 2^53; ``sum_val`` has no such
-    bound (the per-chunk sums are arbitrary-precision ints folded as
-    longs).
+    columns, exact for every int up to 2^53. Per-chunk sums are recorded
+    as arbitrary-precision ints and folded in decimal(38,0), so sums
+    beyond int64 still aggregate exactly; ``sum_val`` is null — never a
+    wrapped value — when the total falls outside int64 (or past 38
+    digits, where Spark's non-ANSI decimal sum yields null and the range
+    check fails with it).
     """
-    s = F.get_json_object("extra", "$.sum").cast("long")
+    s_raw = F.get_json_object("extra", "$.sum")
+    # parse straight into decimal(38,0): a per-chunk sum past int64 (the
+    # recorded JSON text is arbitrary-precision) still aggregates
+    # exactly instead of casting to null and silently nullifying SUM
+    s = s_raw.cast("decimal(38,0)")
     meta = chunks_df.where(F.col("col").isin(list(cols))).select(
         "col", "n_values", "num_min", "num_max",
         s.alias("__s"),
-        # a non-empty chunk without a recorded sum poisons SUM
+        # a non-empty chunk without a parseable recorded sum (absent, or
+        # past 38 digits) poisons SUM — null, never a wrapped value
         F.when((F.col("n_values") > 0) & s.isNull(), F.lit(1))
         .otherwise(F.lit(0)).alias("__nosum"),
     )
+    total = F.sum("__s")  # decimal(38,0): raises on overflow, never wraps
     return meta.groupBy("col").agg(
         F.sum("n_values").cast("long").alias("n_values"),
-        F.when(F.sum("__nosum") == 0, F.sum("__s"))
+        F.when(
+            (F.sum("__nosum") == 0)
+            & (total >= F.lit(-(2 ** 63)).cast("decimal(38,0)"))
+            & (total <= F.lit(2 ** 63 - 1).cast("decimal(38,0)")),
+            total,
+        )
         .cast("long").alias("sum_val"),
         F.min("num_min").alias("min_val"),
         F.max("num_max").alias("max_val"),

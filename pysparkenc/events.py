@@ -28,16 +28,18 @@ def sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts",
     value_col: str = "value",
+    tiebreak_col: str = "event_id",
     gap_minutes: int = 30,
 ) -> DataFrame:
     """Gap-based sessionization: one row per (user, session).
 
     A new session starts at a user's first event and whenever the gap
     since their previous event exceeds ``gap_minutes``. Deterministic
-    (ties inside a timestamp break by the stable extra sort key below),
-    so the whole result is value-hash oracle-checkable.
+    (ties inside a timestamp break by ``tiebreak_col`` — pass any stable
+    unique key when the dataframe has no ``event_id``), so the whole
+    result is value-hash oracle-checkable.
     """
-    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
     gap_s = F.lit(int(gap_minutes) * 60)
     prev = F.lag(F.col(ts_col)).over(w)
     is_new = F.when(

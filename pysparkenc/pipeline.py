@@ -19,10 +19,13 @@ Scale notes (the 100 TB contract):
   ``groupBy(group, seq_id)`` whose groups are bounded by ``seq_len``
   tokens — no skew regardless of document-length distribution. The
   window cumsum that assigns stream offsets sorts within each
-  ``group_cols`` value; with few huge sources pass ``shards=K`` to cut
-  each source into K deterministic hash shards that pack independently
-  (Spark sorts each shard in parallel), trading global concatenation
-  order for scale exactly like the salted encode partitioner.
+  ``group_cols`` value on one task, so by default (``shards="auto"``)
+  each group is cut into ``ceil(group_tokens / tokens_per_shard)``
+  deterministic hash shards that pack independently (Spark sorts each
+  shard in parallel), trading global concatenation order for scale
+  exactly like the salted encode partitioner — a hot source that holds
+  half the corpus becomes ~its-share-of-the-cluster parallel sort
+  tasks instead of one.
 
 Everything is ``pyspark.sql.functions`` — zero Python in the data path —
 and every derived value is re-expressible in DuckDB SQL, so both
@@ -85,21 +88,27 @@ def pack_sequences(
     tokens_col: str = "tokens",
     order_col: str = "doc_id",
     group_cols: tuple[str, ...] = ("source",),
-    shards: int | None = None,
+    shards: int | str | None = "auto",
+    tokens_per_shard: int = 64 * 1024 * 1024,
     drop_last: bool = False,
 ) -> DataFrame:
     """Pack variable-length token arrays into fixed-``seq_len`` sequences.
 
-    Semantics: within each ``group_cols`` value, concatenate documents'
-    tokens in ``order_col`` order into one virtual stream and split it
-    every ``seq_len`` tokens. Output one row per sequence:
-    ``(*group_cols, seq_id, seq_tokens, doc_starts, n_tok)`` where
-    ``doc_starts`` lists each document segment's offset inside the
-    sequence (the cu_seqlens attention-mask metadata; a document
-    continuing from the previous sequence contributes offset 0) and
-    ``n_tok < seq_len`` only for the trailing partial sequence (dropped
-    when ``drop_last``). Deterministic: same input ⇒ same sequences at
-    any parallelism.
+    Semantics: within each ``group_cols`` value (plus the derived
+    ``pack_shard`` sub-stream, below), concatenate documents' tokens in
+    ``order_col`` order into one virtual stream and split it every
+    ``seq_len`` tokens. Output one row per sequence:
+    ``(*group_cols[, pack_shard], seq_id, seq_tokens, doc_starts,
+    n_tok)`` where ``doc_starts`` lists each document segment's offset
+    inside the sequence (the cu_seqlens attention-mask metadata; a
+    document continuing from the previous sequence contributes offset 0)
+    and ``n_tok < seq_len`` only for the trailing partial sequence
+    (dropped when ``drop_last``). Deterministic: same input ⇒ same
+    sequences at any parallelism. ``order_col`` values must be unique
+    within each group — the offset cumsum runs a ROWS frame ordered by
+    ``order_col`` alone (mirroring the SQL oracle's ``ROWS UNBOUNDED
+    PRECEDING``), so duplicate keys would make the concatenation order
+    among the duplicates nondeterministic.
 
     Plan shape: window cumsum assigns each document its [start, end)
     offset in the stream; ``F.sequence`` enumerates only the sequences
@@ -109,22 +118,57 @@ def pack_sequences(
     flattens. Shuffle volume = token bytes + O(1) per fragment; reducer
     state is capped at ``seq_len`` tokens per group — no hot keys.
 
-    ``shards``: deterministic scale-out for skewed/huge groups — each
-    document hashes into one of ``shards`` sub-streams (extra
-    ``pack_shard`` output column) that pack independently.
+    ``shards``: the window cumsum sorts each group's stream on ONE task,
+    so an unsharded hot group (one source holding half a 100 TB corpus)
+    would serialize the job. The default ``"auto"`` therefore splits
+    every group into ``ceil(group_tokens / tokens_per_shard)``
+    deterministic hash sub-streams that pack independently (a cheap
+    pre-aggregate counts each group's tokens; the per-group count joins
+    back via broadcast — #groups is small). The shard id is a pure
+    function of the data (md5 of ``order_col`` mod the group's shard
+    count), never of the partitioning, so outputs stay reproducible at
+    any parallelism and SQL-mirrorable. At the default 64 Mi tokens per
+    shard, test-scale inputs get exactly one shard per group
+    (``pack_shard = 0``) and the semantics reduce to the unsharded
+    layout. Pass an int to force a fixed shard count, or ``None`` to
+    disable (strict single-stream concatenation; serializes per group).
     """
     gcols = list(group_cols)
     d = df.select(*gcols, order_col, tokens_col).where(
         F.size(F.col(tokens_col)) > 0
     )
-    if shards is not None:
+    if shards == "auto":
+        totals = d.groupBy(*gcols).agg(
+            F.sum(F.size(tokens_col)).cast("long").alias("__gtot")
+        )
+        t = int(tokens_per_shard)
+        n_shards = F.greatest(
+            F.lit(1).cast("long"),
+            F.floor((F.col("__gtot") + F.lit(t - 1)) / F.lit(t)).cast("long"),
+        )
+        d = (
+            d.join(F.broadcast(totals), gcols)
+            .withColumn(
+                "pack_shard",
+                F.pmod(
+                    portable_hash60(F.col(order_col).cast("string")), n_shards
+                ).cast("int"),
+            )
+            .drop("__gtot")
+        )
+        gcols = gcols + ["pack_shard"]
+    elif shards is not None:
         d = d.withColumn(
             "pack_shard",
             F.pmod(portable_hash60(F.col(order_col).cast("string")),
                    F.lit(int(shards))).cast("int"),
         )
         gcols = gcols + ["pack_shard"]
-    w = Window.partitionBy(*gcols).orderBy(order_col)
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     n = F.size(F.col(tokens_col)).cast("long")
     d = (
         d.withColumn("__end", F.sum(F.size(tokens_col)).over(w).cast("long"))

@@ -143,6 +143,7 @@ def token_freq_topk(
     *,
     text_col: str = "text",
     group_col: str = "source",
+    shards: int = 32,
 ) -> DataFrame:
     """Top-k most frequent tokens per group (vocabulary / frequency
     analysis over a corpus — the "what does this source actually say"
@@ -151,8 +152,16 @@ def token_freq_topk(
     Plan shape at scale: explode → hash-aggregate with MAP-SIDE partial
     counts (Catalyst combines per partition before the shuffle, so
     shuffle volume is distinct (group, token) pairs per partition, not
-    the token stream), then a per-group top-k window over the already
-    tiny aggregate. Ties break by token ascending — fully deterministic.
+    the token stream). The final rank then runs in TWO stages so no
+    reducer ever sees a group's whole distinct vocabulary (the r3
+    VERDICT scale flag: one window per group over an open ~10^9-token
+    vocab is a one-reducer job): tokens hash into ``shards`` sub-streams,
+    a per-(group, shard) window keeps each shard's top-k, and the final
+    per-group window ranks only the ≤ shards·k survivors. Lossless: the
+    global top-k is contained in the union of shard top-ks (any token
+    beaten by k others within its own shard is beaten by k others
+    globally). Ties break by token ascending — fully deterministic, and
+    identical to the single-window SQL oracle.
     """
     from pyspark.sql import Window
 
@@ -161,11 +170,16 @@ def token_freq_topk(
         .groupBy(group_col, "token")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    w = Window.partitionBy(group_col).orderBy(
-        F.col("cnt").desc(), F.col("token").asc()
-    )
+    order = [F.col("cnt").desc(), F.col("token").asc()]
+    w_local = Window.partitionBy(group_col, "__shard").orderBy(*order)
+    w = Window.partitionBy(group_col).orderBy(*order)
     return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        counts.withColumn(
+            "__shard", F.pmod(F.xxhash64("token"), F.lit(int(shards)))
+        )
+        .withColumn("__r", F.row_number().over(w_local))
+        .where(F.col("__r") <= int(k))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= int(k))
         .select(group_col, "token", "cnt", "rank")
     )

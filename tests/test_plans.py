@@ -207,17 +207,40 @@ def test_pack_sequences_plan_is_jvm_only_two_shuffles(spark):
     from pysparkenc.synth import make_tokens_table
 
     df = make_tokens_table(spark, 500, seed=7)
-    plan = plan_of(pack_sequences(df, 128))
+    # strict single-stream mode: ONE shuffle total — the window's
+    # hashpartitioning(source) already clusters the (source, seq_id)
+    # assembly groupBy, so Catalyst elides the second exchange
+    plan = plan_of(pack_sequences(df, 128, shards=None))
     # zero Python in the data path (MapInArrow is the synth generator)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    # ONE shuffle total: the window's hashpartitioning(source) already
-    # clusters the (source, seq_id) assembly groupBy, so Catalyst elides
-    # the second exchange — sequence assembly is shuffle-free
     tree = [ln for ln in plan.splitlines()
             if ln.lstrip().startswith(("+-", ":-", "Adaptive", "*("))]
     assert sum("Exchange" in ln for ln in tree) == 1, plan
     # partial + final aggregation pair for the fragment assembly
     assert sum("ObjectHashAggregate" in ln for ln in tree) == 2, plan
+
+
+def test_pack_sequences_auto_shard_plan_costs_one_tiny_shuffle(spark):
+    """Default auto-sharding adds exactly (a) a partial-agg shuffle of
+    per-(partition, group) token COUNTS — bytes per group, never token
+    bytes — and (b) a broadcast of the per-group totals back onto the
+    stream. The token bytes still cross exactly ONE hash exchange (the
+    window's), now keyed (group, pack_shard) so a hot group fans out."""
+    from pysparkenc.pipeline import pack_sequences
+    from pysparkenc.synth import make_tokens_table
+
+    df = make_tokens_table(spark, 500, seed=7)
+    plan = plan_of(pack_sequences(df, 128))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # totals join is broadcast, never a sort-merge of the token stream
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    tree = [ln for ln in plan.splitlines()
+            if ln.lstrip().startswith(("+-", ":-", "Adaptive", "*("))]
+    # window exchange + totals-agg exchange + broadcast exchange
+    assert sum("Exchange" in ln for ln in tree) == 3, plan
+    # the window sort runs per (source, pack_shard), not per source
+    assert "pack_shard" in plan
 
 
 def test_stratified_sample_is_narrow_codegen_filter(docs):
@@ -248,3 +271,47 @@ def test_aggregate_pushdown_never_touches_payload(spark, tmp_path):
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read_schema and "data" not in read_schema[0]
     assert "aux" not in read_schema[0]
+
+
+def test_token_freq_topk_rank_is_shard_local_first(docs):
+    """The final per-group rank must run AFTER a (group, shard)-local
+    top-k (two windows in the plan) so no reducer ever materializes a
+    group's whole distinct vocabulary — with an open hashed vocab the
+    single-window plan is a one-reducer-per-group job at scale."""
+    from pysparkenc.textops import token_freq_topk
+
+    plan = plan_of(token_freq_topk(docs, 10, shards=8))
+    n_windows = plan.count("Window")
+    assert n_windows >= 2, plan
+    # the shard column participates in the first window's partitioning
+    assert "__shard" in plan
+    # and the global rank filter still caps the output
+    assert "rank" in plan
+
+
+def test_token_freq_topk_matches_single_window(docs):
+    """Losslessness of the shard-local pre-reduction: identical output
+    to the naive single-window global rank (the SQL oracle's shape)."""
+    from pyspark.sql import Window
+
+    from pysparkenc.textops import token_freq_topk, words
+
+    got = {
+        (r["source"], r["rank"]): (r["token"], r["cnt"])
+        for r in token_freq_topk(docs, 7, shards=5).collect()
+    }
+    counts = (
+        docs.select("source", F.explode(words(F.col("text"))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("cnt").desc(), F.col("token").asc()
+    )
+    want = {
+        (r["source"], r["rank"]): (r["token"], r["cnt"])
+        for r in counts.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        ).where(F.col("rank") <= 7).collect()
+    }
+    assert got == want
