@@ -402,6 +402,35 @@ def q_roundtrip_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.unionByName(pu).unionByName(su)
 
 
+def q_interval_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL logical types end-to-end (reference thrift
+    parquet/parquet.go:2597-2612): deterministic day-time (int64 micros,
+    with nulls) and year-month (int32 months) intervals derived from
+    event_id, round-tripped through the engine, then projected back to
+    the exact integers for the hash gate (PySpark cannot even collect
+    year-month interval rows, and intervals convert exactly to/from
+    their physical ints by construction)."""
+    ev = _read(spark, sf_dir, "events").select("event_id")
+    us = (F.col("event_id") * F.lit(1_000_003)) % F.lit(10**15)
+    base = ev.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 7 != 0,
+            F.timestamp_micros(us) - F.timestamp_micros(F.lit(0)),
+        ).alias("dur"),
+        F.make_ym_interval(
+            F.lit(0), (F.col("event_id") % 240).cast("int")
+        ).alias("span"),
+    )
+    out = decode_table(encode_table(base, num_partitions=8), base.schema)
+    epoch = F.lit("1970-01-01 00:00:00Z").cast("timestamp")
+    return out.select(
+        "event_id",
+        F.unix_micros(epoch + F.col("dur")).alias("dur_us"),
+        F.col("span").cast("int").alias("span_mo"),
+    )
+
+
 def q_roundtrip_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trips the float-vector table (list<float32> chunk path), then
     reduces each decoded vector to an exact integer checksum so the DuckDB
@@ -1234,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_orders": q_roundtrip_orders,
         "roundtrip_events": q_roundtrip_events,
         "roundtrip_dims": q_roundtrip_dims,
+        "interval_roundtrip": q_interval_roundtrip,
         "roundtrip_embeddings": q_roundtrip_embeddings,
         "roundtrip_nullable": q_roundtrip_nullable,
         "roundtrip_evolved": q_roundtrip_evolved,
@@ -1342,6 +1372,12 @@ def oracle_sql() -> dict[str, str]:
             "p_retailprice, p_type FROM part "
             "UNION ALL SELECT 'supplier', s_suppkey, s_name, NULL::VARCHAR, "
             "s_nationkey, s_acctbal, NULL::VARCHAR FROM supplier"
+        ),
+        "interval_roundtrip": (
+            "SELECT event_id, "
+            "CASE WHEN event_id % 7 <> 0 "
+            "THEN (event_id * 1000003) % 1000000000000000 END AS dur_us, "
+            "(event_id % 240)::INT AS span_mo FROM events"
         ),
         "roundtrip_embeddings": (
             "SELECT vec_id, label, len(embedding)::BIGINT AS n_dims, "

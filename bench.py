@@ -166,9 +166,18 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
     # nproc lies on this sandbox (see BENCH.md host-capacity calibration):
     # ~8-13 effective cores back 32 hyperthread slots, and 32 concurrent
-    # Arrow python workers on ~10 real cores degrade 3-8x. Cap the session
-    # at 16 — a real cluster sizes executors to physical cores.
-    used = min(cpus, 16)
+    # Arrow python workers on ~10 real cores degrade 3-8x. Probe the
+    # host's REAL capacity right now (it swings 2-3x between runs on the
+    # shared VM) and size the session to it — a real cluster sizes
+    # executors to physical cores. The probe result is recorded in the
+    # output so round-over-round deltas carry their own context.
+    probe = [_probe_procs(n) for n in (8, 16)]
+    probe = [p for p in probe if p is not None]
+    if probe:
+        best = max(probe, key=lambda p: p["effective_parallelism"])
+        used = min(cpus, best["procs"])
+    else:  # pragma: no cover - mp failure fallback
+        used = min(cpus, 16)
     spark = make_spark(used)
     timings: dict[str, float] = {}
     # Warm the session before timing: spin up the Python worker pool, JIT
@@ -176,7 +185,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     # first query in iteration order absorbs ~10s of fixed startup cost
     # and per-query numbers become sequence-dependent.
     qs = entrymod.queries()
-    force(qs["roundtrip_supplier"](spark, sf_dir))
+    force(qs["roundtrip_dims"](spark, sf_dir))
     force(qs["token_count"](spark, sf_dir))
     spark.catalog.clearCache()
     # best-of-N passes (default 2): the shared sandbox host has multi-
@@ -215,6 +224,10 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "sf": sf,
         "cpus": used,
         "cpus_requested": cpus,
+        "host_effective_parallelism": (
+            max(p["effective_parallelism"] for p in probe) if probe else None
+        ),
+        "host_capacity_probe": probe,
         "flagship_tokens": enc["tokens"],
         "tokens_per_sec": enc["tokens_per_sec"],
         "compression_ratio": enc["compression_ratio"],
@@ -336,6 +349,42 @@ def _burn(_):
     x = np.random.default_rng(0).integers(0, 1000, 2_000_000)
     for _ in range(40):
         np.sort(x)
+
+
+def _burn_quick(_):
+    import numpy as np
+
+    x = np.random.default_rng(0).integers(0, 1000, 2_000_000)
+    for _ in range(8):
+        np.sort(x)
+
+
+_PROBE_BASE: list[float] = []
+
+
+def _probe_procs(n: int) -> dict | None:
+    """Quick capacity probe at one proc count: effective parallelism vs
+    a 1-proc baseline (cached per process). ~1-2s per call — cheap
+    enough to run at bench start so `cpus` in the output is the
+    parallelism the host could actually deliver, not nproc's fiction."""
+    import multiprocessing as mp
+
+    try:
+        if not _PROBE_BASE:
+            t0 = time.monotonic()
+            _burn_quick(0)
+            _PROBE_BASE.append(time.monotonic() - t0)
+        with mp.Pool(n) as p:
+            t0 = time.monotonic()
+            p.map(_burn_quick, range(n))
+            wall = time.monotonic() - t0
+        return {
+            "procs": n,
+            "wall_sec": round(wall, 2),
+            "effective_parallelism": round(n * _PROBE_BASE[0] / wall, 2),
+        }
+    except Exception:  # pragma: no cover
+        return None
 
 
 def host_capacity_probe() -> list[dict]:

@@ -30,7 +30,8 @@ def _recall(spark, planes: int, tables: int, k: int = 5, n_q: int = 20) -> float
 
 def test_multi_table_recall_floor(spark):
     # the contract query's configuration (q_ann_lsh_topk); measured 0.86
-    assert _recall(spark, planes=4, tables=16) >= 0.75
+    # measured 0.86 (deterministic inputs); floor at measured-margin
+    assert _recall(spark, planes=4, tables=16) >= 0.80
 
 
 def test_tables_monotonically_add_candidates(spark):
@@ -58,7 +59,8 @@ def _ivf_recall(spark, n_centroids: int, n_probe: int, k: int = 5,
 
 def test_ivf_recall_floor(spark):
     # the contract query's configuration (q_ann_ivf_topk); measured 0.87
-    assert _ivf_recall(spark, n_centroids=32, n_probe=12) >= 0.75
+    # measured 0.87 (deterministic inputs); floor at measured-margin
+    assert _ivf_recall(spark, n_centroids=32, n_probe=12) >= 0.80
 
 
 def test_ivf_probe_widens_recall(spark):
