@@ -143,13 +143,17 @@ def cmd_stats(args: argparse.Namespace) -> int:
         F.sum("enc_bytes").alias("enc_bytes"),
         F.sort_array(F.collect_set("codec")).alias("codecs"),
     )
+    # collect the metadata aggregation ONCE; the column list and the
+    # report loop both reuse it (a second collect would recompute the
+    # whole groupBy against the store)
+    meta_rows = meta.collect()
     aggs = {
         r["col"]: r
         for r in aggregate_chunks(
-            chunks, [r["col"] for r in meta.select("col").collect()]
+            chunks, [r["col"] for r in meta_rows]
         ).collect()
     }
-    for r in sorted(meta.collect(), key=lambda r: r["col"]):
+    for r in sorted(meta_rows, key=lambda r: r["col"]):
         row = {
             "col": r["col"],
             "n_chunks": r["n_chunks"],

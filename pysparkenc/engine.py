@@ -761,7 +761,13 @@ def encode_table(
     column giving each row its encode partition directly (e.g. to align
     chunk groups with a pre-existing Iceberg partition layout). Bypasses
     the skew-aware planner entirely; the caller owns balance. Mutually
-    exclusive with ``partition_by``.
+    exclusive with ``partition_by``. Exactness bound: the slot-preimage
+    placement honors each distinct part_id as its own Spark partition
+    only up to 8192 distinct values; beyond that the route falls back to
+    hashing part_id, which may co-locate distinct part_ids in one task
+    (chunk rows still record the user's part_id — only task placement
+    coarsens). Raise ``num_partitions`` structure upstream or pre-split
+    if >8192 exact groups are required.
     ``sort_by``: cluster rows by these columns INSIDE each partition
     before chunking (``sortWithinPartitions`` — a local sort, no extra
     shuffle). Sorted pages hand the codecs longer runs and smaller

@@ -1,13 +1,19 @@
 """Multimodal asset plumbing: image/audio/video as opaque binary columns.
 
-The container has no image/audio codecs, so the *decode* step is a
-clearly-marked stub (:func:`decode_asset` raises ``NotImplementedError``
-unless ``fake=True`` selects the deterministic fake decoder). Everything
+The decode step is REAL for the two public formats decodable without
+native media libraries — uncompressed PCM WAV (:func:`decode_wav`) and
+uncompressed 24-bit BMP (:func:`decode_bmp`), both pure numpy over the
+published byte layouts. Compressed formats (JPEG/MP3/H.264 …) need
+libjpeg/libsndfile/ffmpeg, absent from this container, and raise a
+clearly-marked ``NotImplementedError``; ``fake=True`` keeps the
+deterministic byte-stream fake for the synthetic tables. Everything
 Spark-side is real and tested: the asset schema, Arrow-batched
 ``mapInArrow`` feature extraction (batch in, batch out — the shape a
-real libjpeg/ffmpeg UDF would keep), and zero per-row Python anywhere:
-payload generation is a splitmix64 stream keyed by (asset_id, word_idx)
-and the histogram is one flattened ``np.bincount`` over the whole batch.
+real libjpeg/ffmpeg UDF would keep), and zero per-row Python in the
+synthetic path: payload generation is a splitmix64 stream keyed by
+(asset_id, word_idx) and the histogram is one flattened ``np.bincount``
+over the whole batch. Real-format extraction loops rows only at the
+Arrow-batch boundary — exactly where a real codec forces it.
 
 Scale design: assets are *large values, small keys*. Feature extraction
 is a narrow map (no shuffle); the output drops the payload so downstream
@@ -143,19 +149,116 @@ def make_assets_table(spark: SparkSession, n_rows: int, *, seed: int = 42) -> Da
     return base.mapInArrow(gen, ASSET_SCHEMA)
 
 
+def decode_wav(payload: bytes) -> np.ndarray:
+    """Pure-numpy decoder for uncompressed PCM WAV (RIFF/WAVE, format
+    tag 1, 8- or 16-bit). Returns samples shaped ``(n_frames,
+    n_channels)`` — uint8 for 8-bit, int16 for 16-bit (both
+    little-endian per the spec). Malformed or truncated input RAISES
+    ``ValueError`` (never silently mis-decodes); compressed format tags
+    raise ``NotImplementedError``."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (csize,) = np.frombuffer(payload, "<u4", 1, pos + 4)
+        body = payload[pos + 8:pos + 8 + int(csize)]
+        if len(body) < int(csize):
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + int(csize) + (int(csize) & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError("short fmt chunk")
+    audio_format, n_ch = np.frombuffer(fmt, "<u2", 2, 0)
+    bits = int(np.frombuffer(fmt, "<u2", 1, 14)[0])
+    if int(audio_format) != 1:
+        raise NotImplementedError(
+            f"WAV format tag {int(audio_format)}: only PCM (1) is decoded"
+        )
+    if bits not in (8, 16) or int(n_ch) < 1:
+        raise ValueError(f"unsupported PCM layout: {bits}-bit, {n_ch} ch")
+    frame_bytes = int(n_ch) * bits // 8
+    if len(data) % frame_bytes:
+        raise ValueError("data chunk is not a whole number of frames")
+    dt = np.uint8 if bits == 8 else np.dtype("<i2")
+    return np.frombuffer(data, dt).reshape(-1, int(n_ch))
+
+
+def wav_sample_rate(payload: bytes) -> int:
+    """Sample rate from the fmt chunk of a PCM WAV payload."""
+    if payload[:4] != b"RIFF":
+        raise ValueError("not a RIFF stream")
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (csize,) = np.frombuffer(payload, "<u4", 1, pos + 4)
+        if cid == b"fmt ":
+            return int(np.frombuffer(payload, "<u4", 1, pos + 8 + 4)[0])
+        pos += 8 + int(csize) + (int(csize) & 1)
+    raise ValueError("missing fmt chunk")
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Pure-numpy decoder for uncompressed 24-bit BMP
+    (BITMAPINFOHEADER). Returns an ``(height, width, 3)`` uint8 RGB
+    array (file stores BGR bottom-up with rows padded to 4 bytes;
+    negative height = top-down, honored). Truncation and unsupported
+    variants raise, never mis-decode."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    (data_off,) = np.frombuffer(payload, "<u4", 1, 10)
+    (hdr_size,) = np.frombuffer(payload, "<u4", 1, 14)
+    if int(hdr_size) < 40:
+        raise NotImplementedError("only BITMAPINFOHEADER (>=40) BMPs")
+    w, h = (int(x) for x in np.frombuffer(payload, "<i4", 2, 18))
+    bpp = int(np.frombuffer(payload, "<u2", 1, 28)[0])
+    comp = int(np.frombuffer(payload, "<u4", 1, 30)[0])
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMPs (got {bpp}-bit, compression {comp})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError("degenerate BMP dimensions")
+    stride = (w * 3 + 3) & ~3
+    end = int(data_off) + stride * h
+    if end > len(payload):
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(payload, np.uint8, stride * h, int(data_off))
+    px = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        px = px[::-1]
+    return px[:, :, ::-1].copy()  # BGR -> RGB
+
+
 def decode_asset(payload: bytes, kind: str, *, fake: bool = False) -> np.ndarray:
     """Decode an encoded asset to a raw sample array.
 
-    STUB: real decoding needs libjpeg/libsndfile/ffmpeg, not present in
-    this container. ``fake=True`` returns the payload bytes as uint8 —
-    deterministic, so the pipeline around it is fully testable.
+    Real pure-numpy decoders cover uncompressed PCM WAV (-> samples
+    ``(n_frames, n_channels)``) and uncompressed 24-bit BMP (-> RGB
+    ``(h, w, 3)``), dispatched on magic bytes. Compressed formats
+    (JPEG/MP3/H.264 …) need libjpeg/libsndfile/ffmpeg, absent from this
+    container — those raise ``NotImplementedError``. ``fake=True``
+    bypasses dispatch and returns the payload bytes as uint8 (the
+    deterministic fake the synthetic asset tables use).
     """
-    if not fake:
-        raise NotImplementedError(
-            f"{kind} decoding requires media codecs not available here; "
-            "pass fake=True for the deterministic byte-stream fake"
-        )
-    return np.frombuffer(payload, dtype=np.uint8)
+    if fake:
+        return np.frombuffer(payload, dtype=np.uint8)
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    if len(payload) >= 2 and payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        f"{kind} decoding: only uncompressed PCM WAV and 24-bit BMP are "
+        "decodable without media codecs; pass fake=True for the "
+        "deterministic byte-stream fake"
+    )
 
 
 def extract_features(assets: DataFrame, *, fake_decode: bool = True) -> DataFrame:
@@ -184,9 +287,37 @@ def extract_features(assets: DataFrame, *, fake_decode: bool = True) -> DataFram
                 continue
             payload = b.column(b.schema.get_field_index("payload"))
             if not fake_decode:
-                # surface the stub contract for real decoding
-                kind0 = b.column(b.schema.get_field_index("kind"))[0].as_py()
-                decode_asset(b"", kind0, fake=False)
+                # real formats (WAV/BMP): decode row-at-a-time inside the
+                # Arrow batch — where a real codec forces the loop — and
+                # histogram the DECODED sample bytes
+                kinds = b.column(b.schema.get_field_index("kind"))
+                hist = np.zeros((n, 16), np.float64)
+                lens = np.zeros(n, np.int64)
+                for i in range(n):
+                    raw_i = payload[i].as_py()
+                    lens[i] = len(raw_i)
+                    dec = np.frombuffer(
+                        decode_asset(raw_i, kinds[i].as_py()).tobytes(),
+                        np.uint8,
+                    )
+                    if dec.size:
+                        hist[i] = np.bincount(dec >> 4, minlength=16)
+                totals = np.maximum(hist.sum(axis=1, keepdims=True), 1.0)
+                feats = pa.ListArray.from_arrays(
+                    pa.array(np.arange(n + 1, dtype=np.int32) * 16,
+                             pa.int32()),
+                    pa.array((hist / totals).ravel(), pa.float64()),
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        b.column(b.schema.get_field_index("asset_id")),
+                        kinds,
+                        pa.array(lens, pa.int64()),
+                        feats,
+                    ],
+                    schema=out_pa,
+                )
+                continue
             ba = payload.cast(pa.large_binary())
             bufs = ba.buffers()
             offs = np.frombuffer(bufs[1], dtype=np.int64, count=n + 1,
