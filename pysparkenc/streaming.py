@@ -115,3 +115,144 @@ def encode_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def sessionize_stream(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming gap-based sessionization — the custom STATEFUL operator
+    (``applyInPandasWithState``) the batch window trick cannot express
+    incrementally: one open session per user lives in the state store;
+    closed sessions emit as soon as the event-time watermark passes
+    ``session_end + gap`` (event-time timeout), so output latency and
+    state size are both bounded (O(1) per active user — never the
+    event history).
+
+    Semantics match :func:`pysparkenc.events.sessionize` row-for-row for
+    every session the stream CLOSES: same gap rule, same integer-cents
+    sums, and the same per-user ordinal ``session_id`` (sessions close
+    in event-time order, so the ordinal is a running count in state).
+    Still-open sessions at end-of-stream remain in state (a terminating
+    run can flush them by advancing the watermark with a sentinel batch).
+    Late events beyond the watermark are dropped by Spark upstream;
+    within-lateness stragglers that arrive AFTER their session's close
+    decision start a new session — the standard eager-emission tradeoff
+    of event-time timeouts.
+
+    Inside each micro-batch the work is vectorized: events sort once,
+    session boundaries come from one ``diff > gap`` compare, and the
+    per-session aggregates from ``np.add.reduceat`` — the per-row loop
+    the reference's value-at-a-time design would force never appears.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_id", LongType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+            StructField("sum_cents", LongType()),
+            StructField("duration_sec", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_us", LongType()),
+            StructField("last_us", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_cents", LongType()),
+            StructField("ordinal", LongType()),
+        ]
+    )
+
+    def _row(user, k, s_us, e_us, n, cents):
+        return {
+            "user_id": user,
+            "session_id": k,
+            "session_start": pd.Timestamp(s_us, unit="us"),
+            "session_end": pd.Timestamp(e_us, unit="us"),
+            "n_events": n,
+            "sum_cents": cents,
+            "duration_sec": e_us // 1_000_000 - s_us // 1_000_000,
+        }
+
+    def fn(key, pdfs, state):
+        (user,) = key
+        if state.hasTimedOut:
+            s_us, l_us, n, cents, k = state.get
+            state.remove()
+            yield pd.DataFrame([_row(user, k, s_us, l_us, n, cents)])
+            return
+        batches = [p for p in pdfs if len(p)]
+        if not batches:
+            return
+        pdf = pd.concat(batches).sort_values(ts_col, kind="mergesort")
+        ts_us = (pdf[ts_col].astype("int64") // 1000).to_numpy()
+        cents = np.round(pdf[value_col].to_numpy() * 100).astype(np.int64)
+        out = []
+        if state.exists:
+            s_us, l_us, n0, c0, k = state.get
+            # cross-batch stragglers older than the open session's last
+            # event clamp forward (watermark bounds how old they can be)
+            ts_us = np.maximum(ts_us, l_us)
+            cont = ts_us[0] - l_us <= gap_us
+            if not cont:
+                # a new event past the gap closes the open session NOW —
+                # waiting for the timeout would both delay the emission
+                # and corrupt the ordinal when this batch opens new ones
+                out.append(_row(user, k, s_us, l_us, n0, c0))
+                k += 1
+        else:
+            s_us, l_us, n0, c0, k = 0, 0, 0, 0, 1
+            cont = False
+        new = np.zeros(ts_us.size, dtype=bool)
+        new[0] = not cont
+        new[1:] = np.diff(ts_us) > gap_us
+        starts = np.flatnonzero(new)
+        seg_at = np.concatenate(([0], starts)) if cont else starts
+        seg_n = np.diff(np.concatenate((seg_at, [ts_us.size])))
+        seg_cents = np.add.reduceat(cents, seg_at)
+        for i in range(seg_at.size):
+            a = seg_at[i]
+            b = a + seg_n[i]
+            if i == 0 and cont:
+                seg = (s_us, int(ts_us[b - 1]), n0 + int(seg_n[i]),
+                       c0 + int(seg_cents[i]))
+            else:
+                seg = (int(ts_us[a]), int(ts_us[b - 1]), int(seg_n[i]),
+                       int(seg_cents[i]))
+            if i < seg_at.size - 1:  # closed within this batch
+                out.append(_row(user, k, *seg))
+                k += 1
+            else:  # trailing segment stays open in state
+                state.update((seg[0], seg[1], seg[2], seg[3], k))
+                state.setTimeoutTimestamp((seg[1] + gap_us) // 1000)
+        if out:
+            yield pd.DataFrame(out)
+
+    d = df.withWatermark(ts_col, watermark)
+    return (
+        d.select(user_col, ts_col, value_col)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

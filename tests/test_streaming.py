@@ -242,3 +242,62 @@ def test_time_travel_over_streamed_micro_batches(spark, tmp_path):
     ids = {r["doc_id"] for r in snap.select("doc_id").collect()}
     want = {r["doc_id"] for r in full.where(idx < 200).collect()}
     assert ids == want
+
+
+def test_sessionize_stream_matches_batch_for_closed_sessions(spark, tmp_path):
+    """applyInPandasWithState sessionization: every session the stream
+    CLOSES (event-time timeout = session_end + gap passing the
+    watermark) must equal the batch sessionize row exactly — same gap
+    rule, same cents sums, same per-user ordinal — and every session
+    the watermark provably passed must have been emitted."""
+    from pysparkenc.events import sessionize
+    from pysparkenc.streaming import sessionize_stream
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = "/root/testdata/sf0.001/events.parquet"
+    batch_df = spark.read.parquet(src).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    batch = {
+        (r["user_id"], r["session_id"]):
+        (r["session_start"], r["session_end"], r["n_events"], r["sum_cents"])
+        for r in sessionize(batch_df).collect()
+    }
+
+    # time-ordered files => the watermark advances monotonically batch
+    # to batch and closes sessions as it passes them
+    rows = batch_df.orderBy("ts").collect()
+    qs = [len(rows) * i // 4 for i in range(5)]
+    src_dir = str(tmp_path / "ev")
+    for i in range(4):
+        spark.createDataFrame(rows[qs[i]:qs[i + 1]], batch_df.schema) \
+            .coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        sessionize_stream(stream, gap_minutes=30, watermark="1 minute")
+        .writeStream.format("memory").queryName("sess_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_id"]):
+        (r["session_start"], r["session_end"], r["n_events"], r["sum_cents"])
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+    }
+    assert got  # the stream actually closed sessions
+    # exactness: every emitted session is byte-for-byte the batch session
+    for key, val in got.items():
+        assert batch[key] == val, key
+    # coverage: any session whose close decision the final watermark
+    # passed with a full gap+delay margin must have been emitted
+    import datetime as dt
+
+    max_ts = max(r["ts"] for r in rows)
+    margin = dt.timedelta(minutes=31)  # gap 30m + 1m watermark delay
+    must_emit = {k for k, v in batch.items() if v[1] + margin < max_ts - margin}
+    assert must_emit <= set(got)
