@@ -1753,6 +1753,14 @@ def decode_table_where(
             return F.date_add(F.lit("1970-01-01").cast("date"), int(v))
         if logical.startswith("timestamp"):
             return F.timestamp_micros(F.lit(int(v)))
+        if logical.startswith("interval_dt_us"):
+            return (
+                F.timestamp_micros(F.lit(int(v))) - F.timestamp_micros(F.lit(0))
+            ).cast(schema[col].dataType)
+        if logical.startswith("interval_ym_mo"):
+            return F.make_ym_interval(F.lit(0), F.lit(int(v))).cast(
+                schema[col].dataType
+            )
         if logical.startswith("decimal("):
             _, s = _decimal_params(logical)
             return (F.lit(int(v)).cast("decimal(20,0)")
