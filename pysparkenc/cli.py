@@ -173,6 +173,26 @@ def cmd_stats(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_compact(args: argparse.Namespace) -> int:
+    """Rewrite the store's visible data as one fresh run with big pages
+    (Iceberg rewrite_data_files analogue); optionally expire the
+    superseded runs' files afterwards (drops their time travel)."""
+    from pysparkenc.lineage import compact_store, expire_runs
+
+    spark = _session("pysparkenc-compact")
+    out = compact_store(
+        spark, args.input,
+        partition_by=_parse_partition_by(args.partition_by),
+        num_partitions=args.num_partitions,
+        target_chunk_bytes=args.target_chunk_bytes,
+        sort_by=_parse_partition_by(args.sort_by),
+    )
+    if args.expire:
+        out["expired"] = expire_runs(spark, args.input)["expired_runs"]
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_audit(args: argparse.Namespace) -> int:
     spark = _session("pysparkenc-audit")
     chunks = spark.read.parquet(args.input)
@@ -252,6 +272,17 @@ def main(argv: list[str] | None = None) -> int:
     aud.add_argument("--input", required=True,
                      help="chunk parquet path (a store's chunks dir works)")
     aud.set_defaults(fn=cmd_audit)
+
+    cmp_ = sub.add_parser("compact")
+    cmp_.add_argument("--input", required=True, help="encoded store path")
+    cmp_.add_argument("--partition-by", default=None)
+    cmp_.add_argument("--sort-by", default=None)
+    cmp_.add_argument("--num-partitions", type=int, default=None)
+    cmp_.add_argument("--target-chunk-bytes", type=int, default=1 << 20)
+    cmp_.add_argument("--expire", action="store_true",
+                      help="also delete superseded runs' chunk files "
+                           "(drops time travel to them)")
+    cmp_.set_defaults(fn=cmd_compact)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -106,14 +106,25 @@ def read_committed_chunks(
     the chunk scan itself is pruned by the same broadcast semi-join,
     never rewritten."""
     chunks = spark.read.parquet(_chunks_dir(path))
+    lin = read_lineage(spark, path)
     done = (
-        read_lineage(spark, path)
-        .where(F.col("status") == "done")
+        lin.where(F.col("status") == "done")
         .select("run_id", "part_id")
         .distinct()
     )
+    # compaction markers: a 'superseded' row names an old (run_id,
+    # part_id) replaced by the compaction run recorded in ITS batch_id —
+    # so time travel to a run BEFORE the compaction naturally ignores
+    # the marker and still reads the original layout
+    sup = lin.where(F.col("status") == "superseded")
     if as_of_run is not None:
         done = done.where(F.col("run_id") <= int(as_of_run))
+        sup = sup.where(F.col("batch_id") <= int(as_of_run))
+    done = done.join(
+        F.broadcast(sup.select("run_id", "part_id").distinct()),
+        ["run_id", "part_id"],
+        "left_anti",
+    )
     return (
         chunks.join(F.broadcast(done), ["run_id", "part_id"], "left_semi")
         .withColumn(
@@ -282,3 +293,146 @@ def encode_with_lineage(
         "skipped_partitions": skipped,
         "compression_ratio": (agg["plain"] or 0) / max(1, agg["enc"] or 0),
     }
+
+
+def compact_store(
+    spark: SparkSession,
+    path: str,
+    *,
+    schema=None,
+    partition_by: tuple[str, ...] | None = None,
+    num_partitions: int | None = None,
+    codec: str | dict[str, str] | None = None,
+    compression: str | None = None,
+    target_chunk_bytes: int | None = 1 << 20,
+    sort_by: tuple[str, ...] | None = None,
+    as_of_run: int | None = None,
+) -> dict:
+    """Rewrite the store's visible data as ONE fresh run with big,
+    well-clustered pages — the Iceberg ``rewrite_data_files`` analogue
+    for this layout. Streaming appends leave a long tail of small runs
+    (tiny pages, one chunk-file dir per micro-batch; the codec selector
+    adapts per page but can't merge across them); compaction decodes the
+    committed table (fully distributed — the same decode path queries
+    use) and re-encodes it with ``target_chunk_bytes`` page sizing.
+
+    Commit is ATOMIC against every failure point: the new run's chunk
+    rows land first (invisible without lineage), then one single-file
+    lineage append publishes BOTH the new run's done rows AND a
+    'superseded' marker per old (run_id, part_id) — so readers switch
+    from the old layout to the new one in a single rename; a crash
+    before it leaves only invisible orphan chunks. Markers carry the
+    compaction run id in ``batch_id``, which scopes them for time
+    travel: ``as_of_run`` BEFORE the compaction still reads the original
+    layout byte-for-byte; AFTER it, only the compacted run.
+
+    Old chunk files stay on disk for time travel until
+    :func:`expire_runs` removes them. Don't compact while a resumable
+    batch encode of the same store is mid-flight: its remaining
+    partitions would commit into a layout the compaction didn't see.
+    """
+    from .engine import decode_table
+
+    t0 = time.time()
+    old = (
+        read_committed_chunks(spark, path, as_of_run=as_of_run)
+        .select(
+            (F.col("part_id") / F.lit(1 << 32)).cast("long").alias("run_id"),
+            F.pmod(F.col("part_id"), F.lit(1 << 32)).cast("long").alias("part_id"),
+        )
+        .distinct()
+        .collect()
+    )
+    if not old:
+        return {"run_id": -1, "partitions": 0, "superseded": 0,
+                "wall_sec": time.time() - t0}
+    df = decode_table(read_committed_chunks(spark, path, as_of_run=as_of_run),
+                      schema)
+    run_id = _next_run_id(spark, path)
+    chunks = encode_table(
+        df, partition_by=partition_by, num_partitions=num_partitions,
+        codec=codec, compression=compression,
+        rows_per_chunk=None if target_chunk_bytes else 4096,
+        target_chunk_bytes=target_chunk_bytes, sort_by=sort_by,
+    )
+    (
+        chunks.withColumn("run_id", F.lit(run_id))
+        .write.mode("append")
+        .partitionBy("run_id")
+        .parquet(_chunks_dir(path))
+    )
+    wall = time.time() - t0
+    written = spark.read.parquet(_chunks_dir(path)).where(
+        F.col("run_id") == run_id
+    )
+    lin = written.groupBy("part_id").agg(
+        F.max("n_rows").cast("long").alias("n_rows"),
+        F.sum("n_values").cast("long").alias("n_values"),
+        F.sum("plain_bytes").cast("long").alias("plain_bytes"),
+        F.sum("enc_bytes").cast("long").alias("enc_bytes"),
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.lit(float(wall)).alias("wall_sec"),
+        F.lit("done").alias("status"),
+    ).select(
+        F.lit(run_id).cast("long").alias("run_id"),
+        F.lit(-1).cast("long").alias("batch_id"),
+        "*",
+    )
+    # n_rows per partition: groups have per-page n_rows; recompute as the
+    # sum over distinct chunk groups (max over the group's columns)
+    per_group = written.groupBy("part_id", "chunk_id").agg(
+        F.max("n_rows").alias("g_rows")
+    )
+    rows_per_part = per_group.groupBy("part_id").agg(
+        F.sum("g_rows").cast("long").alias("n_rows2")
+    )
+    lin = (
+        lin.join(rows_per_part, "part_id")
+        .drop("n_rows").withColumnRenamed("n_rows2", "n_rows")
+        .select(*[f.name for f in LINEAGE_SCHEMA.fields])
+    )
+    markers = spark.createDataFrame(
+        [
+            (int(r["run_id"]), int(run_id), int(r["part_id"]),
+             0, 0, 0, 0, 0, float(wall), "superseded")
+            for r in old
+        ],
+        LINEAGE_SCHEMA,
+    )
+    # ONE single-file append = the atomic publish-and-supersede commit
+    lin.unionByName(markers).coalesce(1).write.mode("append").parquet(
+        _lineage_dir(path)
+    )
+    return {
+        "run_id": run_id,
+        "partitions": int(lin.count()),
+        "superseded": len(old),
+        "wall_sec": time.time() - t0,
+    }
+
+
+def expire_runs(spark: SparkSession, path: str) -> dict:
+    """Physically delete chunk directories of runs whose EVERY committed
+    partition is superseded (Iceberg ``expire_snapshots``): time travel
+    to those runs stops working; current reads are untouched because the
+    semi-join never selects superseded chunk groups. Local-filesystem
+    stores only (this sandbox's layout); object stores would route the
+    deletes through their own client."""
+    import shutil
+
+    lin = read_lineage(spark, path)
+    done = lin.where(F.col("status") == "done").select("run_id", "part_id")
+    sup = lin.where(F.col("status") == "superseded").select(
+        "run_id", "part_id"
+    ).distinct()
+    live = done.join(sup, ["run_id", "part_id"], "left_anti")
+    dead_runs = sorted(
+        {int(r["run_id"]) for r in done.select("run_id").distinct().collect()}
+        - {int(r["run_id"]) for r in live.select("run_id").distinct().collect()}
+    )
+    removed = []
+    for r in dead_runs:
+        d = f"{_chunks_dir(path)}/run_id={r}"
+        shutil.rmtree(d, ignore_errors=True)
+        removed.append(r)
+    return {"expired_runs": removed}

@@ -155,3 +155,32 @@ def test_decode_columns_projection_cli(spark, tmp_path, capsys):
     capsys.readouterr()
     assert main(["decode", "--input", enc, "--output", out,
                  "--columns", "doc_id,nope"]) == 2
+
+
+def test_cli_compact_expire(spark, tmp_path, capsys):
+    """pysparkenc compact --expire end-to-end through the CLI."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from pysparkenc.cli import main
+    from pysparkenc.engine import decode_table
+    from pysparkenc.lineage import encode_with_lineage, read_committed_chunks
+    from pysparkenc.synth import make_tokens_table
+
+    path = str(tmp_path / "store")
+    for i in range(2):
+        encode_with_lineage(
+            make_tokens_table(spark, 120, seed=30 + i).withColumn(
+                "doc_id", F.concat(F.lit(f"c{i}-"), "doc_id")),
+            path, partition_by=("source", "doc_id"), num_partitions=2,
+            resume=False, batch_id=i,
+        )
+    n_before = decode_table(read_committed_chunks(spark, path)).count()
+    rc = main(["compact", "--input", path,
+               "--partition-by", "source,doc_id",
+               "--num-partitions", "2", "--expire"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["superseded"] > 0 and out["expired"] == [1, 2]
+    assert decode_table(read_committed_chunks(spark, path)).count() == n_before

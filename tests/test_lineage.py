@@ -179,3 +179,81 @@ def test_snapshots_history(spark, tokens_df, tmp_path):
     )
     assert sum(r["n_rows"] for r in hist) == N_DOCS
     assert all(r["enc_bytes"] > 0 for r in hist)
+
+
+def _tok_multiset(df):
+    rows = df.select("doc_id", "tokens").collect()
+    return sorted((r["doc_id"], tuple(r["tokens"])) for r in rows)
+
+
+def test_compaction_rewrites_without_changing_the_table(spark, tmp_path):
+    """Three small appends -> compact: the visible table is byte-equal,
+    the chunk-group count drops (big pages), the old layout stays
+    readable via time travel BEFORE the compaction run, and reading
+    as-of the compaction run sees only the new layout."""
+    from pysparkenc.lineage import compact_store, snapshots
+
+    path = str(tmp_path / "store")
+    dfs = [make_tokens_table(spark, 200, seed=s) for s in (11, 12, 13)]
+    for i, d in enumerate(dfs):
+        # distinct doc_id spaces per append (streaming-shaped)
+        encode_with_lineage(
+            d.withColumn("doc_id", F.concat(F.lit(f"b{i}-"), "doc_id")),
+            path, partition_by=("source", "doc_id"), num_partitions=4,
+            resume=False, batch_id=i,
+        )
+    before = read_committed_chunks(spark, path)
+    want = _tok_multiset(decode_table(before))
+    groups_before = before.select("part_id", "chunk_id").distinct().count()
+    last_append_run = int(
+        snapshots(spark, path).agg(F.max("run_id")).collect()[0][0]
+    )
+
+    m = compact_store(spark, path, partition_by=("source", "doc_id"),
+                      num_partitions=4)
+    assert m["superseded"] > 0 and m["run_id"] > last_append_run
+
+    after = read_committed_chunks(spark, path)
+    assert _tok_multiset(decode_table(after)) == want
+    groups_after = after.select("part_id", "chunk_id").distinct().count()
+    assert groups_after < groups_before  # bigger pages, fewer groups
+    # every visible chunk group now belongs to the compaction run
+    runs = {
+        int(r["part_id"]) >> 32
+        for r in after.select("part_id").distinct().collect()
+    }
+    assert runs == {m["run_id"]}
+
+    # time travel: as-of the last append still reads the ORIGINAL layout
+    old = read_committed_chunks(spark, path, as_of_run=last_append_run)
+    assert _tok_multiset(decode_table(old)) == want
+    old_runs = {
+        int(r["part_id"]) >> 32
+        for r in old.select("part_id").distinct().collect()
+    }
+    assert m["run_id"] not in old_runs and len(old_runs) == 3
+
+
+def test_expire_runs_drops_only_superseded_data(spark, tmp_path):
+    import os
+
+    from pysparkenc.lineage import compact_store, expire_runs
+
+    path = str(tmp_path / "store")
+    for i in range(2):
+        encode_with_lineage(
+            make_tokens_table(spark, 150, seed=20 + i).withColumn(
+                "doc_id", F.concat(F.lit(f"b{i}-"), "doc_id")),
+            path, partition_by=("source", "doc_id"), num_partitions=3,
+            resume=False, batch_id=i,
+        )
+    want = _tok_multiset(decode_table(read_committed_chunks(spark, path)))
+    m = compact_store(spark, path, partition_by=("source", "doc_id"),
+                      num_partitions=3)
+    out = expire_runs(spark, path)
+    assert sorted(out["expired_runs"]) == [1, 2]
+    assert not os.path.exists(f"{path}/chunks/run_id=1")
+    assert os.path.exists(f"{path}/chunks/run_id={m['run_id']}")
+    # current reads untouched
+    got = _tok_multiset(decode_table(read_committed_chunks(spark, path)))
+    assert got == want
