@@ -284,3 +284,21 @@ def test_aggregate_pushdown_matches_sql_semantics(spark):
     (gf,) = aggregate_chunks(encode_table(dff, num_partitions=2), ["x"]).collect()
     assert gf["sum_val"] is None
     assert gf["n_values"] == 100
+
+
+def test_aggregate_pushdown_sum_never_wraps_past_int64(spark):
+    """Chunk sums fold in decimal(38,0): values near the int64 edge sum
+    exactly while the total fits, and a total OUTSIDE int64 yields a
+    null sum_val — never a silently wrapped long (r3 ADVICE)."""
+    from pysparkenc.engine import aggregate_chunks, encode_table
+
+    big = (1 << 62) - 17
+    # 3 values: total = 3 * (2^62 - 17) > int64 max -> null, not wrapped
+    df = spark.createDataFrame([(big,), (big,), (big,)], "v long")
+    (r,) = aggregate_chunks(encode_table(df, num_partitions=1), ["v"]).collect()
+    assert r["n_values"] == 3
+    assert r["sum_val"] is None
+    # 2 values: total = 2^63 - 34 still fits int64 -> exact
+    df2 = spark.createDataFrame([(big,), (big,)], "v long")
+    (r2,) = aggregate_chunks(encode_table(df2, num_partitions=1), ["v"]).collect()
+    assert r2["sum_val"] == 2 * big
