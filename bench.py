@@ -360,6 +360,7 @@ def run_pack_skew(n_rows: int, cpus: int, trials: int = 3) -> dict:
             kw = {"shards": shards}
             if shards == "auto":
                 kw["tokens_per_shard"] = tps
+                kw["size_col"] = "n_tok"  # pre-count reads the scalar
             t0 = time.monotonic()
             packed = pack_sequences(df, 2048, **kw)
             gcols = ["source"] + (["pack_shard"] if shards else [])

@@ -90,6 +90,7 @@ def pack_sequences(
     group_cols: tuple[str, ...] = ("source",),
     shards: int | str | None = "auto",
     tokens_per_shard: int = 64 * 1024 * 1024,
+    size_col: str | None = None,
     drop_last: bool = False,
 ) -> DataFrame:
     """Pack variable-length token arrays into fixed-``seq_len`` sequences.
@@ -132,14 +133,23 @@ def pack_sequences(
     (``pack_shard = 0``) and the semantics reduce to the unsharded
     layout. Pass an int to force a fixed shard count, or ``None`` to
     disable (strict single-stream concatenation; serializes per group).
+    ``size_col``: name of a column already holding ``size(tokens)`` (the
+    BASELINE input table carries ``n_tok``). The auto-shard pre-count
+    then reads ONLY that scalar — without it, computing group totals
+    re-evaluates the whole ``tokens`` expression a second time (e.g. a
+    regexp tokenization upstream runs twice). Caller contract:
+    ``size_col == size(tokens_col)`` row-for-row.
     """
     gcols = list(group_cols)
-    d = df.select(*gcols, order_col, tokens_col).where(
-        F.size(F.col(tokens_col)) > 0
+    n_expr = (
+        F.col(size_col).cast("long") if size_col
+        else F.size(F.col(tokens_col)).cast("long")
     )
+    sel = [*gcols, order_col, tokens_col] + ([size_col] if size_col else [])
+    d = df.select(*sel).where(n_expr > 0)
     if shards == "auto":
         totals = d.groupBy(*gcols).agg(
-            F.sum(F.size(tokens_col)).cast("long").alias("__gtot")
+            F.sum(n_expr).cast("long").alias("__gtot")
         )
         t = int(tokens_per_shard)
         n_shards = F.greatest(

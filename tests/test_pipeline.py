@@ -232,3 +232,17 @@ def test_pack_duplicate_order_keys_use_rows_frame(spark):
     flat = sorted(t for r in packed for t in r["seq_tokens"])
     assert flat == [1, 2, 3, 4, 5, 6, 7, 8]
     assert sum(r["n_tok"] for r in packed) == 8
+
+
+def test_pack_size_col_fast_path_matches_default(spark, tokens_df):
+    """size_col='n_tok' lets the auto-shard pre-count read one scalar
+    instead of re-evaluating the tokens expression; the packed output
+    must be identical to the default path."""
+    L, T = 64, 2_000
+    a = pack_sequences(tokens_df, L, tokens_per_shard=T)
+    b = pack_sequences(tokens_df, L, tokens_per_shard=T, size_col="n_tok")
+    ka = {(r["source"], r["pack_shard"], r["seq_id"]): list(r["seq_tokens"])
+          for r in a.collect()}
+    kb = {(r["source"], r["pack_shard"], r["seq_id"]): list(r["seq_tokens"])
+          for r in b.collect()}
+    assert ka == kb
