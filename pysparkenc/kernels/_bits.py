@@ -146,10 +146,17 @@ def pack_const_width(values: np.ndarray, bit_width: int) -> bytes:
     if values.size % 8:
         raise ValueError("pack_const_width requires multiple-of-8 input")
     # mirror of unpack_const_width: uint64 -> (n, 8) LE bytes ->
-    # per-row unpackbits -> keep bit_width bits -> one packbits pass
+    # per-row unpackbits -> keep bit_width bits -> one packbits pass.
+    # Only the ceil(bit_width/8) low bytes can carry set bits for valid
+    # input, so the unpack touches those alone — at width <= 8 that is
+    # 8x less bit-matrix traffic than unpacking the full 8-byte rows
+    # (identical output bytes: the dropped bits are provably zero).
     vals = np.ascontiguousarray(values).astype("<u8", copy=False)
-    rows = vals.view(np.uint8).reshape(-1, 8)
-    bits = np.unpackbits(rows, axis=1, bitorder="little")[:, :bit_width]
+    nb = (bit_width + 7) // 8
+    rows = vals.view(np.uint8).reshape(-1, 8)[:, :nb]
+    bits = np.unpackbits(
+        np.ascontiguousarray(rows), axis=1, bitorder="little"
+    )[:, :bit_width]
     return np.packbits(bits.ravel(), bitorder="little").tobytes()
 
 

@@ -90,7 +90,9 @@ def dict_encode_codes(codes: np.ndarray, n_unique: int) -> bytes:
     if n_unique == 0:
         raise ValueError("empty dictionary nothing to write")
     w = dict_index_bit_width(n_unique)
-    return bytes([w]) + hybrid_encode(codes.astype(np.int64), w)
+    # codes are in [0, n_unique) by construction (factorize) and w is
+    # sized from n_unique -> skip the range scan and the int64 copy
+    return bytes([w]) + hybrid_encode(codes, w, assume_fits=True)
 
 
 def dict_decode_codes(buf: bytes | memoryview, n: int, n_unique: int) -> np.ndarray:

@@ -59,17 +59,26 @@ def _rle_value_bytes(value: int, bit_width: int) -> bytes:
     return int(value).to_bytes(nbytes, "little", signed=False)
 
 
-def hybrid_encode(values: np.ndarray, bit_width: int) -> bytes:
-    """Encode int array (values must fit ``bit_width`` unsigned bits)."""
+def hybrid_encode(
+    values: np.ndarray, bit_width: int, *, assume_fits: bool = False
+) -> bytes:
+    """Encode int array (values must fit ``bit_width`` unsigned bits).
+
+    ``assume_fits=True`` skips the min/max range validation — for
+    callers whose values fit by construction (dictionary codes are in
+    ``[0, n_unique)`` with the width sized from ``n_unique``), the two
+    full-array reductions are pure overhead in the encode hot path."""
     if bit_width < 0 or bit_width > 32:
         raise ValueError(f"invalid bit width {bit_width}")
     values = np.ascontiguousarray(values)
     n = values.size
     if n == 0:
         return b""
-    uvals = values.astype(np.int64, copy=False)
-    if uvals.min() < 0 or (bit_width < 64 and int(uvals.max()) >> bit_width):
-        raise ValueError("value does not fit declared bit width")
+    uvals = values
+    if not assume_fits:
+        lo, hi = int(uvals.min()), int(uvals.max())
+        if lo < 0 or (bit_width < 64 and hi >> bit_width):
+            raise ValueError("value does not fit declared bit width")
 
     # --- run segmentation ---------------------------------------------------
     change = np.flatnonzero(np.diff(uvals) != 0)
