@@ -206,19 +206,46 @@ class ChunkStoreReader(DataSourceReader):
 
     def partitions(self) -> list[InputPartition]:
         files = _list_chunk_files(self.path)
+        # Bin-pack small files into byte-targeted read partitions: each
+        # partition costs a Python worker round-trip, so a store left by
+        # many streaming micro-batches (hundreds of tiny chunk files)
+        # must not pay it per FILE. Compacted stores with ~target-sized
+        # files get one file per partition — full parallelism either way.
+        target = 32 << 20
+        groups: list[tuple[str, ...]] = []
+        cur: list[str] = []
+        acc = 0
+        for f in files:
+            try:
+                sz = os.path.getsize(f)
+            except OSError:
+                sz = target
+            if cur and acc + sz > target:
+                groups.append(tuple(cur))
+                cur, acc = [], 0
+            cur.append(f)
+            acc += sz
+        if cur:
+            groups.append(tuple(cur))
         # zero files: one empty partition so the scan yields an empty
         # DataFrame instead of failing
-        return [InputPartition(f) for f in files] or [InputPartition(None)]
+        return [InputPartition(g) for g in groups] or [InputPartition(None)]
 
     def read(self, partition: InputPartition):
         if partition.value is None:
             return
+        val = partition.value
+        files = (val,) if isinstance(val, str) else val
+        for f in files:
+            yield from self._read_file(f)
+
+    def _read_file(self, path: str):
         schema = self.user_schema
         allowed: set[str] = set()
         for f in schema.fields:
             allowed |= engine._subtree_chunk_names(f.name, f.dataType)
         table = pq.read_table(
-            partition.value,
+            path,
             filters=[("col", "in", sorted(allowed))],
         )
         if table.num_rows == 0:

@@ -256,3 +256,27 @@ def test_stream_read_tails_appends(spark, tmp_path):
     }
     b = {r["id"]: r["name"] for r in got.collect()}
     assert b == o
+
+
+def test_reader_bin_packs_small_files_into_partitions(spark, tmp_path):
+    """Many tiny chunk files (a streaming-append tail) must NOT cost one
+    Python worker round-trip each: partitions() bin-packs them by bytes.
+    The scan result is unchanged."""
+    from pysparkenc.datasource import ChunkStoreReader, register
+
+    register(spark)
+    store = str(tmp_path / "store")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # 12 appends -> many small chunk files
+    for i in range(12):
+        part = docs.where(F.pmod(F.col("doc_id"), F.lit(12)) == i)
+        part.write.format("pysparkenc").mode("append").save(store)
+    back = spark.read.format("pysparkenc").load(store)
+    assert back.count() == docs.count()
+    reader = ChunkStoreReader(store, back.schema)
+    from pysparkenc.datasource import _list_chunk_files
+
+    n_files = len(_list_chunk_files(store))
+    n_parts = len(reader.partitions())
+    assert n_files >= 12
+    assert n_parts < n_files  # tiny files actually grouped
