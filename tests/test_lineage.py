@@ -257,3 +257,33 @@ def test_expire_runs_drops_only_superseded_data(spark, tmp_path):
     # current reads untouched
     got = _tok_multiset(decode_table(read_committed_chunks(spark, path)))
     assert got == want
+
+
+def test_compacting_twice_layers_supersede_correctly(spark, tmp_path):
+    """A second compaction supersedes the first compaction's run; every
+    time-travel point (append-era, first compaction, head) reads the
+    same table."""
+    from pysparkenc.lineage import compact_store
+
+    path = str(tmp_path / "store")
+    for i in range(2):
+        encode_with_lineage(
+            make_tokens_table(spark, 120, seed=40 + i).withColumn(
+                "doc_id", F.concat(F.lit(f"b{i}-"), "doc_id")),
+            path, partition_by=("source", "doc_id"), num_partitions=3,
+            resume=False, batch_id=i,
+        )
+    want = _tok_multiset(decode_table(read_committed_chunks(spark, path)))
+    m1 = compact_store(spark, path, partition_by=("source", "doc_id"),
+                       num_partitions=3)
+    m2 = compact_store(spark, path, partition_by=("source", "doc_id"),
+                       num_partitions=2)
+    assert m2["run_id"] > m1["run_id"]
+    for as_of in (2, m1["run_id"], None):
+        got = _tok_multiset(decode_table(
+            read_committed_chunks(spark, path, as_of_run=as_of)))
+        assert got == want, as_of
+    # head reads only the second compaction's run
+    runs = {int(r["part_id"]) >> 32 for r in read_committed_chunks(
+        spark, path).select("part_id").distinct().collect()}
+    assert runs == {m2["run_id"]}
