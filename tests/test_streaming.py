@@ -301,3 +301,40 @@ def test_sessionize_stream_matches_batch_for_closed_sessions(spark, tmp_path):
     margin = dt.timedelta(minutes=31)  # gap 30m + 1m watermark delay
     must_emit = {k for k, v in batch.items() if v[1] + margin < max_ts - margin}
     assert must_emit <= set(got)
+
+
+def test_compact_mid_stream_then_continue(spark, tmp_path):
+    """Compact a streamed store between micro-batch drains: the
+    compaction run supersedes the streamed runs, later micro-batches
+    append on top (their batch_id idempotency check only matches
+    status='done' rows, so compaction markers can never make a new
+    batch falsely no-op), and the combined view stays bit-identical."""
+    from pysparkenc.lineage import compact_store
+    from pysparkenc.streaming import encode_stream
+
+    src = str(tmp_path / "src")
+    enc = str(tmp_path / "enc")
+    cp = str(tmp_path / "cp")
+    full = make_tokens_table(spark, 400, seed=33)
+    idx = F.substring("doc_id", -12, 12).cast("long")
+    full.where(idx < 250).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain():
+        encode_stream(
+            spark.readStream.schema(schema).parquet(src), enc,
+            checkpoint=cp, partition_by=("source", "doc_id"),
+            num_partitions=3,
+        ).awaitTermination()
+
+    drain()
+    m = compact_store(spark, enc, partition_by=("source", "doc_id"),
+                      num_partitions=2)
+    assert m["superseded"] > 0
+
+    full.where(idx >= 250).write.mode("append").parquet(src)
+    drain()
+    decoded = decode_table(read_committed_chunks(spark, enc), schema)
+    got = {r["doc_id"]: list(r["tokens"]) for r in decoded.collect()}
+    want = {r["doc_id"]: list(r["tokens"]) for r in full.collect()}
+    assert got == want
