@@ -1746,32 +1746,108 @@ def decode_table_where(
     """
     if schema is None:
         schema = output_schema_of_chunks(chunks_df)
-    logical = _logical_of(schema[col])
-
-    def bound(v):
-        if logical == "date_day":
-            return F.date_add(F.lit("1970-01-01").cast("date"), int(v))
-        if logical.startswith("timestamp"):
-            return F.timestamp_micros(F.lit(int(v)))
-        if logical.startswith("interval_dt_us"):
-            return (
-                F.timestamp_micros(F.lit(int(v))) - F.timestamp_micros(F.lit(0))
-            ).cast(schema[col].dataType)
-        if logical.startswith("interval_ym_mo"):
-            return F.make_ym_interval(F.lit(0), F.lit(int(v))).cast(
-                schema[col].dataType
-            )
-        if logical.startswith("decimal("):
-            _, s = _decimal_params(logical)
-            return (F.lit(int(v)).cast("decimal(20,0)")
-                    / F.lit(10 ** s)).cast(schema[col].dataType)
-        return F.lit(v)
-
     out = decode_table(prune_chunks(chunks_df, col, lo, hi), schema)
     if lo is not None:
-        out = out.where(F.col(col) >= bound(lo))
+        out = out.where(F.col(col) >= _physical_bound(schema[col], lo))
     if hi is not None:
-        out = out.where(F.col(col) <= bound(hi))
+        out = out.where(F.col(col) <= _physical_bound(schema[col], hi))
+    return out
+
+
+def _physical_bound(field, v):
+    """Turn a bound given in a column's *physical* numeric domain (the
+    domain footer stats live in: epoch-days for DATE, micros for
+    timestamps and day-time intervals, months for year-month intervals,
+    unscaled int for DECIMAL) into a literal of the column's type."""
+    logical = _logical_of(field)
+    if logical == "date_day":
+        return F.date_add(F.lit("1970-01-01").cast("date"), int(v))
+    if logical.startswith("timestamp"):
+        return F.timestamp_micros(F.lit(int(v)))
+    if logical.startswith("interval_dt_us"):
+        return (
+            F.timestamp_micros(F.lit(int(v))) - F.timestamp_micros(F.lit(0))
+        ).cast(field.dataType)
+    if logical.startswith("interval_ym_mo"):
+        return F.make_ym_interval(F.lit(0), F.lit(int(v))).cast(field.dataType)
+    if logical.startswith("decimal("):
+        _, s = _decimal_params(logical)
+        return (F.lit(int(v)).cast("decimal(20,0)")
+                / F.lit(10 ** s)).cast(field.dataType)
+    return F.lit(v)
+
+
+def scan_table(
+    chunks_df: DataFrame,
+    schema: StructType | None = None,
+    *,
+    columns: list[str] | None = None,
+    where: Iterable[tuple] = (),
+) -> DataFrame:
+    """One-call scan: projection + every pruning kind the store supports,
+    composed — the query surface a user actually wants over an encoded
+    store (the reference's SetSelectedColumns + SkipRowGroup loop,
+    file-reader.go:54,110-112, with the pruning the reference's stats
+    can't do).
+
+    ``where`` is an AND of simple predicates, each routed to the
+    strongest pruning pass available before any payload decode:
+
+    - ``(col, "==", v)``     -> dict-page probe + bloom + stats
+    - ``(col, "in", [v..])`` -> dict-page probe + bloom + stats
+    - ``(col, ">=", v)`` / ``(col, "<=", v)`` / ``(col, "between",
+      (lo, hi))`` -> min/max stat range skip (numeric bounds in the
+      column's physical domain — see :func:`_physical_bound`)
+
+    The surviving chunk groups decode ONLY the requested ``columns``
+    plus the predicate columns (column projection pushes into the chunk
+    scan), the exact row predicates re-apply on the decoded rows
+    (pruning is an optimization, never a correctness dependency), and
+    predicate-only columns are dropped from the result.
+    """
+    if schema is None:
+        schema = output_schema_of_chunks(chunks_df)
+    where = [tuple(w) for w in where]
+    names = {f.name for f in schema.fields}
+    for w in where:
+        if len(w) != 3:
+            raise ValueError(f"predicate must be (col, op, value): {w!r}")
+        if w[0] not in names:
+            raise KeyError(f"unknown predicate column {w[0]!r}")
+    if columns is not None:
+        need = list(dict.fromkeys(list(columns) + [w[0] for w in where]))
+        missing = [c for c in need if c not in names]
+        if missing:
+            raise KeyError(f"unknown columns {missing}")
+        sub = StructType([f for f in schema.fields if f.name in need])
+    else:
+        sub = schema
+    pruned = chunks_df
+    conds = []
+    for col, op, v in where:
+        field = sub[col]
+        if op in ("==", "="):
+            pruned = prune_chunks_equals(pruned, col, v)
+            conds.append(F.col(col) == F.lit(v))
+        elif op == "in":
+            vals = list(v)
+            pruned = prune_chunks_isin(pruned, col, vals)
+            conds.append(F.col(col).isin(vals))
+        elif op in (">=", "<=", "between"):
+            lo = v[0] if op == "between" else (v if op == ">=" else None)
+            hi = v[1] if op == "between" else (v if op == "<=" else None)
+            pruned = prune_chunks(pruned, col, lo, hi)
+            if lo is not None:
+                conds.append(F.col(col) >= _physical_bound(field, lo))
+            if hi is not None:
+                conds.append(F.col(col) <= _physical_bound(field, hi))
+        else:
+            raise ValueError(f"unsupported predicate op {op!r}")
+    out = decode_table(pruned, sub)
+    for c in conds:
+        out = out.where(c)
+    if columns is not None:
+        out = out.select(*columns)
     return out
 
 

@@ -1,0 +1,84 @@
+"""scan_table: the one-call projection + composed-pruning query surface."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pysparkenc.engine import encode_table, scan_table
+
+
+@pytest.fixture(scope="module")
+def li_chunks(spark):
+    df = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_returnflag", "l_shipdate", "l_quantity"
+    )
+    chunks = encode_table(
+        df, partition_by=("l_returnflag", "l_orderkey"), num_partitions=4,
+        bloom=("l_partkey",),
+    )
+    chunks.cache().count()
+    yield df, chunks
+    chunks.unpersist()
+
+
+def test_scan_composes_equality_and_range(spark, li_chunks):
+    df, chunks = li_chunks
+    got = scan_table(
+        chunks,
+        df.schema,
+        columns=["l_orderkey", "l_quantity"],
+        where=[("l_returnflag", "==", "R"),
+               ("l_orderkey", "between", (1000, 20000))],
+    )
+    assert got.columns == ["l_orderkey", "l_quantity"]
+    want = (
+        df.where((F.col("l_returnflag") == "R")
+                 & F.col("l_orderkey").between(1000, 20000))
+        .select("l_orderkey", "l_quantity")
+    )
+    a = sorted((r[0], r[1]) for r in got.collect())
+    b = sorted((r[0], r[1]) for r in want.collect())
+    assert a == b and a
+
+
+def test_scan_in_list_and_schema_recovery(spark, li_chunks):
+    df, chunks = li_chunks
+    keys = [17, 1003, 4000]
+    got = scan_table(chunks, columns=["l_partkey", "l_orderkey"],
+                     where=[("l_partkey", "in", keys)])
+    want = df.where(F.col("l_partkey").isin(keys)).select(
+        "l_partkey", "l_orderkey")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect()))
+
+
+def test_scan_rejects_bad_predicates(spark, li_chunks):
+    _, chunks = li_chunks
+    with pytest.raises(KeyError):
+        scan_table(chunks, where=[("nope", "==", 1)])
+    with pytest.raises(ValueError):
+        scan_table(chunks, where=[("l_orderkey", "~", 1)])
+
+
+def test_scan_projection_reaches_chunk_scan(spark, li_chunks, tmp_path):
+    """On a parquet-backed store the chunk-scan filter keeps only the
+    requested + predicate columns' chunks: non-requested payload columns
+    are pruned BEFORE any decode (pushed into the parquet scan)."""
+    import contextlib
+    import io
+
+    _, chunks = li_chunks
+    store = str(tmp_path / "chunks")
+    chunks.write.parquet(store)
+    back = spark.read.parquet(store)
+    got = scan_table(back, columns=["l_orderkey"],
+                     where=[("l_returnflag", "==", "A")])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "In(col" in pushed[0]
+    assert "l_quantity" not in pushed[0] and "l_shipdate" not in pushed[0]
+    assert "l_orderkey" in pushed[0] and "l_returnflag" in pushed[0]
