@@ -44,6 +44,7 @@ from .engine import (
     decode_table,
     encode_table,
     output_schema_of_chunks,
+    scan_table,
 )
 from .lineage import encode_with_lineage, read_committed_chunks, snapshots
 
@@ -56,6 +57,33 @@ def _parse_partition_by(s: str | None) -> tuple[str, ...] | None:
     if not s:
         return None
     return tuple(c.strip() for c in s.split(",") if c.strip())
+
+
+def _parse_where(exprs: list[str]) -> list[tuple]:
+    """Parse ``col OP value`` predicate strings for :func:`scan_table`.
+
+    OP is one of ``== in >= <= between``; value is JSON (bare words fall
+    back to strings, so ``l_returnflag == A`` works without quoting).
+    ``in`` takes a JSON list, ``between`` a two-element JSON list.
+    """
+    out: list[tuple] = []
+    for expr in exprs:
+        parts = expr.split(None, 2)
+        if len(parts) != 3:
+            raise ValueError(
+                f"predicate must be 'col OP value': {expr!r}")
+        col, op, raw = parts
+        try:
+            val = json.loads(raw)
+        except json.JSONDecodeError:
+            val = raw
+        if op == "between":
+            if not isinstance(val, list) or len(val) != 2:
+                raise ValueError(
+                    f"between needs a two-element JSON list: {expr!r}")
+            val = tuple(val)
+        out.append((col, op, val))
+    return out
 
 
 def cmd_encode(args: argparse.Namespace) -> int:
@@ -96,7 +124,19 @@ def cmd_decode(args: argparse.Namespace) -> int:
                   file=sys.stderr)
             return 2
         schema = StructType([by_name[c] for c in want])
-    decoded = decode_table(chunks, schema)
+    if args.where:
+        try:
+            where = _parse_where(args.where)
+        except ValueError as e:
+            print(json.dumps({"error": str(e)}), file=sys.stderr)
+            return 2
+        decoded = scan_table(
+            chunks,
+            columns=[f.name for f in schema.fields] if schema else None,
+            where=where,
+        )
+    else:
+        decoded = decode_table(chunks, schema)
     decoded.write.mode(args.mode).parquet(args.output)
     print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
     return 0
@@ -248,6 +288,12 @@ def main(argv: list[str] | None = None) -> int:
     dec.add_argument("--as-of-run", type=int, default=None,
                      help="snapshot time travel: decode the table as it "
                           "was when this run committed (VERSION AS OF)")
+    dec.add_argument("--where", action="append", default=[],
+                     metavar="'COL OP VALUE'",
+                     help="repeatable ANDed predicate ('l_orderkey >= 100', "
+                          "'flag == A', 'k in [1,2]', 'k between [5,9]'); "
+                          "each routes through the strongest chunk pruning "
+                          "pass (stats/dict/bloom) before any decode")
     dec.set_defaults(fn=cmd_decode)
 
     stt = sub.add_parser("stats")

@@ -184,3 +184,43 @@ def test_cli_compact_expire(spark, tmp_path, capsys):
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["superseded"] > 0 and out["expired"] == [1, 2]
     assert decode_table(read_committed_chunks(spark, path)).count() == n_before
+
+
+def test_decode_where_predicates(spark, tmp_path, capsys):
+    """decode --where routes through scan_table: pruned, filtered, projected."""
+    src = str(tmp_path / "src")
+    enc = str(tmp_path / "enc")
+    out = str(tmp_path / "out")
+    df = make_tokens_table(spark, 250, seed=7)
+    df.write.parquet(src)
+    want_src = df.select("source").distinct().limit(1).collect()[0][0]
+    expect = df.where(
+        (df.n_tok >= 8) & (df.source == want_src)).count()
+    assert expect > 0
+
+    assert main(["encode", "--input", src, "--output", enc]) == 0
+    capsys.readouterr()
+    assert main([
+        "decode", "--input", enc, "--output", out,
+        "--columns", "doc_id,n_tok,source",
+        "--where", "n_tok >= 8",
+        "--where", f"source == {want_src}",
+    ]) == 0
+    assert json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])["rows"] == expect
+    got = spark.read.parquet(out)
+    assert got.columns == ["doc_id", "n_tok", "source"]
+    assert got.where(
+        (got.n_tok < 8) | (got.source != want_src)).count() == 0
+
+
+def test_decode_where_bad_predicate(spark, tmp_path, capsys):
+    src = str(tmp_path / "src")
+    enc = str(tmp_path / "enc")
+    make_tokens_table(spark, 60, seed=3).write.parquet(src)
+    assert main(["encode", "--input", src, "--output", enc]) == 0
+    capsys.readouterr()
+    assert main([
+        "decode", "--input", enc, "--output", str(tmp_path / "o"),
+        "--where", "n_tok between 5",
+    ]) == 2
