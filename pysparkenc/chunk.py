@@ -35,6 +35,8 @@ from .kernels.dictenc import (
     dict_page_decode_numeric,
     dict_page_encode_bytes,
     dict_page_encode_numeric,
+    sort_dict_bytes,
+    sort_dict_numeric,
     factorize_bytes,
     factorize_numeric,
 )
@@ -73,20 +75,28 @@ def compress_chunk(ck: "EncodedChunk", compression: str | None) -> "EncodedChunk
     extra["comp"] = compression
     ck.data, ck.aux = data, aux
     ck.enc_bytes = len(data) + len(aux)
-    ck.crc32 = zlib.crc32(data)
+    ck.crc32 = _chunk_crc(data, aux)
     ck.extra = json.dumps(extra)
     return ck
 
 
+def _chunk_crc(data: bytes, aux: bytes = b"") -> int:
+    """CRC32 over the stored payload AND the dictionary page: a flipped
+    aux byte must fail fast, never decode into wrong values. Chaining
+    keeps aux-less chunks' CRCs identical to a plain crc32(data)."""
+    crc = zlib.crc32(data)
+    return zlib.crc32(aux, crc) if aux else crc
+
+
 def _open_payload(chunk: dict) -> tuple[bytes, bytes, dict]:
-    """crc-check the stored bytes, then undo block compression if present.
-    Returns (data, aux, extra_dict)."""
+    """crc-check the stored bytes (payload + dict page), then undo block
+    compression if present. Returns (data, aux, extra_dict)."""
     data = chunk["data"]
-    if chunk.get("crc32") is not None and zlib.crc32(data) != chunk["crc32"]:
+    aux = chunk.get("aux") or b""
+    if chunk.get("crc32") is not None and _chunk_crc(data, aux) != chunk["crc32"]:
         raise ValueError(f"chunk {chunk.get('col')}: crc32 mismatch")
     extra = json.loads(chunk["extra"]) if chunk.get("extra") else {}
     comp = extra.get("comp")
-    aux = chunk.get("aux") or b""
     if comp:
         data = blockcomp.decompress(comp, data)
         aux = blockcomp.decompress(comp, aux) if aux else b""
@@ -172,6 +182,9 @@ def encode_numeric(
         data = delta_bp_encode(values, width=width)
     elif codec == "dict_rle":
         codes, uniques = factorize_numeric(values)
+        # DELTA-dict: sorted dictionaries delta-pack far below PLAIN;
+        # run structure (hence index size) survives the code remap
+        codes, uniques = sort_dict_numeric(codes, uniques)
         n_unique = uniques.size
         aux = dict_page_encode_numeric(uniques, dtype)
         data = dict_encode_codes(codes, n_unique)
@@ -208,7 +221,7 @@ def encode_numeric(
         col=col, codec=codec, dtype=dtype, n_values=n, null_count=0,
         n_unique=n_unique, bit_width=bit_width, plain_bytes=plain_bytes,
         enc_bytes=len(data) + len(aux), num_min=vmin_f, num_max=vmax_f,
-        crc32=zlib.crc32(data), extra=json.dumps(extra) if extra else "",
+        crc32=_chunk_crc(data, aux), extra=json.dumps(extra) if extra else "",
         data=data, aux=aux, bloom=bloom,
     )
 
@@ -293,6 +306,9 @@ def encode_bytes(
         data = delta_ba_encode(offsets, data_buf)
     elif codec == "dict_rle":
         codes, d_off, d_data = factorize_bytes(offsets, data_buf)
+        # DELTA-dict: lexicographically sorted dictionaries share long
+        # prefixes, so DELTA_BYTE_ARRAY shrinks the page; remap is free
+        codes, d_off, d_data = sort_dict_bytes(codes, d_off, d_data)
         n_unique = d_off.size - 1
         aux = dict_page_encode_bytes(d_off, d_data)
         data = dict_encode_codes(codes, n_unique)
@@ -312,7 +328,7 @@ def encode_bytes(
         col=col, codec=codec, dtype=logical, n_values=n, null_count=0,
         n_unique=n_unique, bit_width=0, plain_bytes=plain_bytes,
         enc_bytes=len(data) + len(aux), num_min=None, num_max=None,
-        crc32=zlib.crc32(data), extra=json.dumps(extra) if extra else "",
+        crc32=_chunk_crc(data, aux), extra=json.dumps(extra) if extra else "",
         data=data, aux=aux, bloom=bloom,
     )
 

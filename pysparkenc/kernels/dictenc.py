@@ -9,8 +9,10 @@ once.
 
 Wire format (data page, ``types/dict.go:34-57``):
     <1 byte bit-width = bits.Len(len(dict))><hybrid-encoded codes>
-Dictionary page: values PLAIN-encoded (``layout/page-dict.go:42-49`` accepts
-only PLAIN), using the matching PLAIN codec from :mod:`.plain`.
+Dictionary page: one tag byte, then either PLAIN values (the only layout
+the reference accepts, ``layout/page-dict.go:42-49``) or — north-star
+"DELTA-dict" — the sorted dictionary DELTA_BINARY_PACKED (ints) /
+DELTA_BYTE_ARRAY prefix-compressed (bytes), whichever is smaller.
 
 Decode validates ``code < len(dict)`` exactly like ``types/dict.go:104-111``.
 """
@@ -115,23 +117,128 @@ def dict_codes_encoded_size(codes: np.ndarray, n_unique: int) -> int:
     return 1 + hybrid_encoded_size(codes.astype(np.int64), w)
 
 
-# -- dictionary page (PLAIN values) -----------------------------------------
+# -- dictionary page (DELTA-dict with PLAIN fallback) ------------------------
+#
+# The north-star names "dictionary (DELTA-dict with fallback)": the chunk
+# writer sorts the dictionary (see sort_dict_numeric/sort_dict_bytes) and
+# the page encoder then prices DELTA_BINARY_PACKED (ints) or
+# DELTA_BYTE_ARRAY prefix compression (bytes) against PLAIN and keeps the
+# smaller, tagged with one leading byte so decode is self-describing:
+#     <tag 0 = PLAIN | 1 = DELTA><payload>
+# Float dictionaries always take the PLAIN tag (deltas of floats are not
+# compressible and not bit-exact under re-accumulation).
+
+_DICT_PAGE_PLAIN = 0
+_DICT_PAGE_DELTA = 1
+
+
+def sort_dict_numeric(
+    codes: np.ndarray, uniques: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Reorder a factorized dictionary ascending and remap the codes.
+
+    Sorted dictionaries delta-pack into a fraction of PLAIN (ascending
+    distinct ints = small positive deltas) and allow searchsorted probes.
+    Run structure in the code stream is preserved under any bijective
+    remap, so the RLE-hybrid index size is unchanged.
+    """
+    nu = uniques.size
+    if nu <= 1:
+        return codes, uniques
+    order = np.argsort(uniques, kind="stable")
+    inv = np.empty(nu, dtype=np.int32)
+    inv[order] = np.arange(nu, dtype=np.int32)
+    return inv[codes], uniques[order]
+
+
+def sort_dict_bytes(
+    codes: np.ndarray, d_off: np.ndarray, d_data: bytes
+) -> tuple[np.ndarray, np.ndarray, bytes]:
+    """Byte-array variant of :func:`sort_dict_numeric` (lexicographic)."""
+    nu = d_off.size - 1
+    if nu <= 1:
+        return codes, d_off, d_data
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    off = np.ascontiguousarray(d_off, dtype=np.int64)
+    arr = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), nu, [None, pa.py_buffer(off), pa.py_buffer(d_data)]
+    )
+    order = pc.sort_indices(arr).to_numpy().astype(np.int64)
+    sorted_arr = arr.take(order)
+    bufs = sorted_arr.buffers()
+    s_off = np.frombuffer(
+        bufs[1], dtype=np.int64, count=nu + 1, offset=sorted_arr.offset * 8
+    )
+    base = int(s_off[0])
+    s_data = (
+        bytes(memoryview(bufs[2])[base : int(s_off[-1])])
+        if bufs[2] is not None
+        else b""
+    )
+    inv = np.empty(nu, dtype=np.int32)
+    inv[order] = np.arange(nu, dtype=np.int32)
+    return inv[codes], (s_off - base).astype(np.int64), s_data
+
 
 def dict_page_encode_numeric(uniques: np.ndarray, dtype: str) -> bytes:
-    return plain_encode_numeric(uniques, dtype)
+    plain = plain_encode_numeric(uniques, dtype)
+    if dtype in ("int32", "int64") and uniques.size > 1:
+        from .delta import delta_bp_encode
+
+        width = 32 if dtype == "int32" else 64
+        delta = delta_bp_encode(uniques, width=width)
+        if len(delta) < len(plain):
+            return bytes([_DICT_PAGE_DELTA]) + delta
+    return bytes([_DICT_PAGE_PLAIN]) + plain
 
 
 def dict_page_decode_numeric(
     buf: bytes | memoryview, dtype: str, n_unique: int
 ) -> np.ndarray:
-    return plain_decode_numeric(buf, dtype, n_unique)
+    buf = bytes(buf)
+    if len(buf) < 1:
+        raise EOFError("missing dictionary page tag byte")
+    tag, payload = buf[0], buf[1:]
+    if tag == _DICT_PAGE_PLAIN:
+        return plain_decode_numeric(payload, dtype, n_unique)
+    if tag == _DICT_PAGE_DELTA:
+        from .delta import delta_bp_decode
+
+        width = 32 if dtype == "int32" else 64
+        uniques, _ = delta_bp_decode(payload, width=width)
+        if uniques.size != n_unique:
+            raise ValueError(
+                f"dictionary page holds {uniques.size} values, "
+                f"footer says {n_unique}"
+            )
+        return uniques
+    raise ValueError(f"unknown dictionary page tag {tag}")
 
 
 def dict_page_encode_bytes(dict_offsets: np.ndarray, dict_data: bytes) -> bytes:
-    return plain_encode_bytes(dict_offsets, dict_data)
+    plain = plain_encode_bytes(dict_offsets, dict_data)
+    if dict_offsets.size > 2:
+        from .bytearray import delta_ba_encode
+
+        delta = delta_ba_encode(dict_offsets, dict_data)
+        if len(delta) < len(plain):
+            return bytes([_DICT_PAGE_DELTA]) + delta
+    return bytes([_DICT_PAGE_PLAIN]) + plain
 
 
 def dict_page_decode_bytes(
     buf: bytes | memoryview, n_unique: int
 ) -> tuple[np.ndarray, bytes]:
-    return plain_decode_bytes(buf, n_unique)
+    buf = bytes(buf)
+    if len(buf) < 1:
+        raise EOFError("missing dictionary page tag byte")
+    tag, payload = buf[0], buf[1:]
+    if tag == _DICT_PAGE_PLAIN:
+        return plain_decode_bytes(payload, n_unique)
+    if tag == _DICT_PAGE_DELTA:
+        from .bytearray import delta_ba_decode
+
+        return delta_ba_decode(payload, n_unique)
+    raise ValueError(f"unknown dictionary page tag {tag}")

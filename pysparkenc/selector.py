@@ -37,8 +37,11 @@ from .kernels.delta import delta_bp_encoded_size
 from .kernels.dictenc import (
     dict_codes_encoded_size,
     dict_index_bit_width,
+    dict_page_encode_bytes,
+    dict_page_encode_numeric,
     factorize_bytes,
     factorize_numeric,
+    sort_dict_bytes,
 )
 from .kernels.fsst import fsst_encoded_size_estimate
 from .kernels.rle import hybrid_encoded_size
@@ -118,7 +121,9 @@ def select_numeric(
     for_offset = 0
     if nu <= max(1, s.size // 4) and nu < (1 << 20):
         codes, uniques = factorize_numeric(s)
-        dict_page = uniques.size * w
+        # price the DELTA-dict page exactly (uniq is already sorted; the
+        # encoder sorts the real dictionary the same way before packing)
+        dict_page = len(dict_page_encode_numeric(uniq, dtype))
         sizes["dict_rle"] = int(
             dict_page + dict_codes_encoded_size(codes, uniques.size) * scale
         )
@@ -185,7 +190,10 @@ def select_bytes(
     codes, d_off, d_data = factorize_bytes(s_off, s_data)
     nu = d_off.size - 1
     if nu <= max(1, (s_off.size - 1) // 2):
-        dict_page = len(d_data) + 4 * nu
+        # price the DELTA-dict page exactly on the sorted sample dict
+        # (the encoder sorts the real dictionary the same way)
+        _, p_off, p_data = sort_dict_bytes(codes, d_off, d_data)
+        dict_page = len(dict_page_encode_bytes(p_off, p_data))
         sizes["dict_rle"] = int(
             (dict_page * (1 if sel is None else 1.0))
             + dict_codes_encoded_size(codes, nu) * row_scale

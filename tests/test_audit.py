@@ -66,9 +66,24 @@ def test_truncation_with_fixed_crc_is_caught(spark, chunk_rows):
     # the kernel decode must still reject the short payload
     i = max(range(len(chunk_rows)), key=lambda j: len(chunk_rows[j]["data"]))
     cut = chunk_rows[i]["data"][: len(chunk_rows[i]["data"]) // 2]
-    rows, key = _tamper(chunk_rows, i, data=cut, crc32=zlib.crc32(cut))
+    aux = chunk_rows[i]["aux"] or b""
+    fixed = zlib.crc32(aux, zlib.crc32(cut)) if aux else zlib.crc32(cut)
+    rows, key = _tamper(chunk_rows, i, data=cut, crc32=fixed)
     report = _audit(spark, rows)
     assert report[key][0] == "corrupt"
+
+
+def test_flipped_dict_page_byte_is_caught(spark, chunk_rows):
+    # the chunk crc chains the dictionary page: a flipped aux byte must
+    # fail fast, never silently decode remapped values
+    i = max(range(len(chunk_rows)), key=lambda j: len(chunk_rows[j]["aux"] or b""))
+    aux = bytearray(chunk_rows[i]["aux"] or b"")
+    assert aux, "fixture must contain at least one dict chunk"
+    aux[len(aux) // 2] ^= 0x10
+    rows, key = _tamper(chunk_rows, i, aux=bytes(aux))
+    report = _audit(spark, rows)
+    status, err = report[key]
+    assert status == "corrupt" and "crc32" in err
 
 
 def test_tampered_footer_stat_is_caught(spark, chunk_rows):
