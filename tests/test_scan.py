@@ -82,3 +82,34 @@ def test_scan_projection_reaches_chunk_scan(spark, li_chunks, tmp_path):
     assert pushed and "In(col" in pushed[0]
     assert "l_quantity" not in pushed[0] and "l_shipdate" not in pushed[0]
     assert "l_orderkey" in pushed[0] and "l_returnflag" in pushed[0]
+
+
+def test_scan_string_range_uses_lexicographic_stats(spark, li_chunks):
+    """String >=/<= bounds route through the smin/smax pruning path and
+    still re-apply exactly on decoded rows."""
+    df, chunks = li_chunks
+    got = scan_table(chunks, df.schema,
+                     columns=["l_returnflag", "l_orderkey"],
+                     where=[("l_returnflag", ">=", "N")])
+    want = df.where(F.col("l_returnflag") >= "N").select(
+        "l_returnflag", "l_orderkey")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect()))
+    assert got.where(F.col("l_returnflag") == "A").count() == 0
+
+
+def test_scan_timestamp_range_in_physical_micros(spark, li_chunks):
+    """Timestamp bounds are given in the column's physical domain
+    (int64 epoch-micros, where the footer stats live)."""
+    import datetime as dt
+
+    df, chunks = li_chunks
+    cut = dt.datetime(1995, 1, 1)
+    micros = int((cut - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+    got = scan_table(chunks, df.schema,
+                     columns=["l_orderkey", "l_shipdate"],
+                     where=[("l_shipdate", ">=", micros)])
+    want = df.where(F.col("l_shipdate") >= F.lit(cut)).select(
+        "l_orderkey", "l_shipdate")
+    assert got.count() == want.count() > 0
+    assert got.agg(F.min("l_shipdate")).collect()[0][0] >= cut
