@@ -145,13 +145,29 @@ def pack_const_width(values: np.ndarray, bit_width: int) -> bytes:
         return b""
     if values.size % 8:
         raise ValueError("pack_const_width requires multiple-of-8 input")
-    # mirror of unpack_const_width: uint64 -> (n, 8) LE bytes ->
-    # per-row unpackbits -> keep bit_width bits -> one packbits pass.
-    # Only the ceil(bit_width/8) low bytes can carry set bits for valid
-    # input, so the unpack touches those alone — at width <= 8 that is
-    # 8x less bit-matrix traffic than unpacking the full 8-byte rows
-    # (identical output bytes: the dropped bits are provably zero).
     vals = np.ascontiguousarray(values).astype("<u8", copy=False)
+    if bit_width % 8 == 0:
+        # byte-aligned widths: the packed stream IS the low bytes of each
+        # value back-to-back — no bit shuffling at all (the dropped high
+        # bytes are provably zero for valid input)
+        nb = bit_width // 8
+        return np.ascontiguousarray(
+            vals.view(np.uint8).reshape(-1, 8)[:, :nb]
+        ).tobytes()
+    if bit_width in (1, 2, 4):
+        # sub-byte divisors: k values per output byte via k-1 shift-ORs
+        k = 8 // bit_width
+        grp = vals.reshape(-1, k)
+        acc = grp[:, 0].copy()
+        for j in range(1, k):
+            acc |= grp[:, j] << np.uint64(j * bit_width)
+        return acc.astype(np.uint8).tobytes()
+    # general path, mirror of unpack_const_width: uint64 -> (n, 8) LE
+    # bytes -> per-row unpackbits -> keep bit_width bits -> one packbits
+    # pass. Only the ceil(bit_width/8) low bytes can carry set bits for
+    # valid input, so the unpack touches those alone — at width <= 8 that
+    # is 8x less bit-matrix traffic than unpacking the full 8-byte rows
+    # (identical output bytes: the dropped bits are provably zero).
     nb = (bit_width + 7) // 8
     rows = vals.view(np.uint8).reshape(-1, 8)[:, :nb]
     bits = np.unpackbits(
@@ -174,6 +190,23 @@ def unpack_const_width(buf: bytes | memoryview, bit_width: int, n: int) -> np.nd
     total_bits = n * bit_width
     if raw.size * 8 < total_bits:
         raise EOFError("truncated bit-packed payload")
+    if bit_width % 8 == 0:
+        # byte-aligned: zero-extend the packed bytes straight into the
+        # uint64 lanes — no bit shuffling (inverse of the pack fast path)
+        nb = bit_width // 8
+        full = np.zeros((n, 8), dtype=np.uint8)
+        full[:, :nb] = raw[: n * nb].reshape(n, nb)
+        return full.view("<u8").ravel()
+    if bit_width in (1, 2, 4):
+        # sub-byte divisors: k values per byte via shift-and-mask
+        k = 8 // bit_width
+        nbytes = (n + k - 1) // k
+        b = raw[:nbytes].astype(np.uint64)
+        mask = np.uint64((1 << bit_width) - 1)
+        out = np.empty((nbytes, k), dtype=np.uint64)
+        for j in range(k):
+            out[:, j] = (b >> np.uint64(j * bit_width)) & mask
+        return out.ravel()[:n]
     bits = np.unpackbits(raw, bitorder="little", count=total_bits).reshape(
         n, bit_width
     )
