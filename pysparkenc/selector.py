@@ -44,6 +44,7 @@ from .kernels.dictenc import (
     sort_dict_bytes,
 )
 from .kernels.fsst import fsst_encoded_size_estimate
+from .kernels.plain import _ramp
 from .kernels.rle import hybrid_encoded_size
 
 SAMPLE_VALUES = 1 << 16  # selector decisions made on at most 64Ki values
@@ -171,11 +172,15 @@ def select_bytes(
         step = n // 4096
         sel = np.arange(0, n, step)[:4096]
         lens = np.diff(offsets)
+        sel_lens = lens[sel].astype(np.int64)
         s_off = np.zeros(sel.size + 1, dtype=np.int64)
-        np.cumsum(lens[sel], out=s_off[1:])
-        s_data = b"".join(
-            bytes(data[offsets[i] : offsets[i + 1]]) for i in sel
-        )
+        np.cumsum(sel_lens, out=s_off[1:])
+        # vectorized gather of the sampled rows' bytes (the per-row
+        # bytes() join was a Python loop over 4096 slices)
+        raw = np.frombuffer(data, dtype=np.uint8)
+        starts = np.asarray(offsets, dtype=np.int64)[sel]
+        idx = np.repeat(starts, sel_lens) + _ramp(sel_lens)
+        s_data = raw[idx].tobytes()
         scale = total / max(1, len(s_data))
         row_scale = n / sel.size
     else:
