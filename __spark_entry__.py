@@ -867,11 +867,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tx.token_count(_read(spark, sf_dir, "documents"))
-
-
-def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tx.token_count_bpe(_read(spark, sf_dir, "documents"))
+    """Both token-count granularities (whitespace words + BPE-ish
+    pre-tokens) in one row per doc — merged into one contract query so
+    both stay inside the driver gate's ~50-query window."""
+    docs = _read(spark, sf_dir, "documents")
+    return tx.token_count(docs).join(tx.token_count_bpe(docs), "doc_id")
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1177,6 +1177,44 @@ def q_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_chars")
 
 
+def q_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality-delete merge-on-read (Iceberg-v2 shaped; the 100 TB
+    takedown path — retract documents WITHOUT rewriting chunks): encode
+    documents into a store, commit a delete of a deterministic md5-keyed
+    ~10% of doc_ids (:func:`pysparkenc.lineage.delete_rows` — key files
+    + one atomic lineage append), then scan through
+    :func:`pysparkenc.lineage.read_store`, which anti-joins the delete
+    keys sequenced by run. The oracle recomputes the surviving set
+    directly on parquet, so a delete that leaks or over-deletes a single
+    row breaks the hash gate. Sequencing vs later appends, time travel,
+    compaction materialization, and expiry are pinned in
+    tests/test_deletes.py."""
+    import tempfile
+
+    from pysparkenc.lineage import delete_rows, encode_with_lineage, read_store
+    from pysparkenc.textops import portable_hash60
+
+    docs = _read(spark, sf_dir, "documents")
+    with tempfile.TemporaryDirectory() as tmp:
+        store = f"{tmp}/store"
+        encode_with_lineage(
+            docs, store, partition_by=("source", "doc_id"), num_partitions=8
+        )
+        victims = docs.where(
+            F.pmod(
+                portable_hash60(F.concat(F.col("doc_id"), F.lit("del"))),
+                F.lit(10),
+            )
+            == 0
+        ).select("doc_id")
+        delete_rows(spark, store, victims)
+        out = read_store(
+            spark, store, columns=["doc_id", "source", "lang", "n_chars"]
+        )
+        out.cache().count()  # materialize before the tmp store vanishes
+    return out
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table hyperplane LSH (16 tables x 16 buckets): recall@5 vs
     cosine_topk measured 0.86, floor pinned >= 0.75 in
@@ -1284,7 +1322,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pruned_bloom_scan": q_pruned_bloom_scan,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
-        "token_count_bpe": q_token_count_bpe,
         "text_quality": q_text_quality,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
@@ -1308,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asset_features": q_asset_features,
         "asset_resize": q_asset_resize,
         "datasource_scan": q_datasource_scan,
+        "delete_scan": q_delete_scan,
         # --- not oracle-gated (rows-only / no_oracle): keep last ---
         "compression_summary": q_compression_summary,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1513,12 +1551,15 @@ FROM t JOIN w USING (doc_id)
             "count(*)::BIGINT AS dup_count FROM documents GROUP BY md5(text)"
         ),
         "token_count": (
-            f"SELECT doc_id, len({_WS})::BIGINT AS n_tokens FROM documents"
-        ),
-        "token_count_bpe": (
-            "SELECT doc_id, len(regexp_extract_all(text, "
+            f"SELECT doc_id, len({_WS})::BIGINT AS n_tokens, "
+            "len(regexp_extract_all(text, "
             r"'[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::BIGINT "
             "AS n_bpe_tokens FROM documents"
+        ),
+        "delete_scan": (
+            "SELECT doc_id, source, lang, n_chars FROM documents "
+            "WHERE (CAST('0x'||substring(md5(doc_id || 'del'),1,15) "
+            "AS BIGINT) % 10) <> 0"
         ),
         "stratified_sample": (
             "SELECT doc_id, source FROM documents "

@@ -17,6 +17,9 @@ Local runs: ``python -m pysparkenc.cli encode ...``.
 Subcommands:
     encode  parquet/Iceberg table -> encoded chunks + lineage (resumable)
     decode  committed chunks -> parquet table
+    delete  equality delete: retract rows matching a parquet file of
+            key tuples — no chunk rewrite (Iceberg v2-style, sequenced
+            so later re-appends of the same key survive)
     verify  decode + anti-join against the original; exit 1 on mismatch
     audit   distributed integrity fsck of a chunk store (CRC32 + kernel
             decode + footer-stat containment per chunk); exit 1 on corrupt
@@ -38,15 +41,14 @@ import sys
 
 from pyspark.sql import SparkSession, functions as F
 
-from .engine import (
-    aggregate_chunks,
-    audit_chunks,
-    decode_table,
-    encode_table,
-    output_schema_of_chunks,
-    scan_table,
+from .engine import aggregate_chunks, audit_chunks
+from .lineage import (
+    delete_rows,
+    encode_with_lineage,
+    read_committed_chunks,
+    read_store,
+    snapshots,
 )
-from .lineage import encode_with_lineage, read_committed_chunks, snapshots
 
 
 def _session(app: str) -> SparkSession:
@@ -110,43 +112,48 @@ def cmd_encode(args: argparse.Namespace) -> int:
 
 def cmd_decode(args: argparse.Namespace) -> int:
     spark = _session("pysparkenc-decode")
-    chunks = read_committed_chunks(spark, args.input, as_of_run=args.as_of_run)
-    schema = None
-    if args.columns:
-        from pyspark.sql.types import StructType
-
-        full = output_schema_of_chunks(chunks)
-        want = [c.strip() for c in args.columns.split(",") if c.strip()]
-        by_name = {f.name: f for f in full.fields}
-        missing = [c for c in want if c not in by_name]
-        if missing:
-            print(json.dumps({"error": f"unknown columns {missing}"}),
-                  file=sys.stderr)
-            return 2
-        schema = StructType([by_name[c] for c in want])
+    want = (
+        [c.strip() for c in args.columns.split(",") if c.strip()]
+        if args.columns
+        else None
+    )
+    where = ()
     if args.where:
         try:
             where = _parse_where(args.where)
         except ValueError as e:
             print(json.dumps({"error": str(e)}), file=sys.stderr)
             return 2
-        decoded = scan_table(
-            chunks,
-            columns=[f.name for f in schema.fields] if schema else None,
-            where=where,
+    try:
+        # read_store = scan + pruning + equality deletes, snapshot-scoped
+        decoded = read_store(
+            spark, args.input, as_of_run=args.as_of_run,
+            columns=want, where=where,
         )
-    else:
-        decoded = decode_table(chunks, schema)
+    except KeyError as e:
+        print(json.dumps({"error": str(e)}), file=sys.stderr)
+        return 2
     decoded.write.mode(args.mode).parquet(args.output)
     print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
+    return 0
+
+
+def cmd_delete(args: argparse.Namespace) -> int:
+    spark = _session("pysparkenc-delete")
+    keys = spark.read.parquet(args.keys)
+    key_cols = tuple(
+        c.strip() for c in args.key_cols.split(",") if c.strip()
+    )
+    print(json.dumps(
+        delete_rows(spark, args.input, keys, key_cols=key_cols)
+    ))
     return 0
 
 
 def cmd_verify(args: argparse.Namespace) -> int:
     spark = _session("pysparkenc-verify")
     orig = spark.read.parquet(args.original)
-    chunks = read_committed_chunks(spark, args.encoded)
-    decoded = decode_table(chunks, orig.schema)
+    decoded = read_store(spark, args.encoded, orig.schema)
     key = args.key
     cols = [c for c in orig.columns if c != key]
     joined = decoded.alias("d").join(orig.alias("o"), key, "full_outer")
@@ -307,6 +314,15 @@ def main(argv: list[str] | None = None) -> int:
                      help="encoded store path; prints one JSON snapshot "
                           "row per committed run, newest first")
     his.set_defaults(fn=cmd_history)
+
+    dl = sub.add_parser("delete")
+    dl.add_argument("--input", required=True, help="encoded store path")
+    dl.add_argument("--keys", required=True,
+                    help="parquet path holding the key tuples to retract")
+    dl.add_argument("--key-cols", default="doc_id",
+                    help="comma-separated equality-delete key columns "
+                         "(must exist in both the keys file and the store)")
+    dl.set_defaults(fn=cmd_delete)
 
     ver = sub.add_parser("verify")
     ver.add_argument("--original", required=True)

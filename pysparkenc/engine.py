@@ -1292,6 +1292,7 @@ def decode_table(
     schema: StructType | None = None,
     *,
     pages_per_group: int = 64,
+    part_col: str | None = None,
 ) -> DataFrame:
     """Inverse of :func:`encode_table`: chunk rows -> original rows.
     Nested columns reassemble recursively from their subtree chunks
@@ -1315,6 +1316,13 @@ def decode_table(
     Sweep at sf0.1 (isolated, best-of-2): lineitem (wide, 11 cols)
     32→0.87s 64→0.75s 128→0.70s; documents (fat text) 32→0.74s
     64→0.58s 128→0.71s. 64 takes most of the win on both shapes while
+
+    ``part_col``: also emit each row's chunk-group partition id (the
+    combined ``run_id * 2^32 + part_id`` of a lineage-committed store)
+    as a LongType column of that name — row provenance for readers that
+    need the writing run, e.g. equality-delete sequencing
+    (:func:`pysparkenc.lineage.read_store`). Costs nothing: the id is a
+    grouping key the decode shuffle already carries.
     keeping the worst-case per-task footprint (4096-row pages of ~2 KB
     rows) near 512 MB; go higher only with bytes-targeted pages.
     """
@@ -1358,9 +1366,27 @@ def decode_table(
         "__pg",
         F.floor(F.col("chunk_id") / F.lit(pages_per_group)).cast("long"),
     )
-    out = grouped.groupBy("part_id", "__pg").applyInArrow(
-        lambda t: decode_pages(t), schema
-    )
+    if part_col is not None:
+        if part_col in {f.name for f in schema.fields}:
+            raise ValueError(f"part_col {part_col!r} collides with a column")
+        out_schema = StructType(
+            schema.fields + [StructField(part_col, LongType(), False)]
+        )
+
+        def decode_with_part(t: pa.Table) -> pa.Table:
+            res = decode_pages(t)
+            pid = t.column("part_id")[0].as_py()
+            return res.append_column(
+                part_col, pa.array([pid] * res.num_rows, pa.int64())
+            )
+
+        out = grouped.groupBy("part_id", "__pg").applyInArrow(
+            lambda t: decode_with_part(t), out_schema
+        )
+    else:
+        out = grouped.groupBy("part_id", "__pg").applyInArrow(
+            lambda t: decode_pages(t), schema
+        )
     for name, (kind, dt) in iv_restore.items():
         if kind == "dt":
             out = out.withColumn(
@@ -1783,6 +1809,7 @@ def scan_table(
     *,
     columns: list[str] | None = None,
     where: Iterable[tuple] = (),
+    part_col: str | None = None,
 ) -> DataFrame:
     """One-call scan: projection + every pruning kind the store supports,
     composed — the query surface a user actually wants over an encoded
@@ -1804,6 +1831,10 @@ def scan_table(
     scan), the exact row predicates re-apply on the decoded rows
     (pruning is an optimization, never a correctness dependency), and
     predicate-only columns are dropped from the result.
+
+    ``part_col``: forwarded to :func:`decode_table` — keep each row's
+    chunk-group partition id as an extra LongType column (survives the
+    ``columns`` projection).
     """
     if schema is None:
         schema = output_schema_of_chunks(chunks_df)
@@ -1843,11 +1874,11 @@ def scan_table(
                 conds.append(F.col(col) <= _physical_bound(field, hi))
         else:
             raise ValueError(f"unsupported predicate op {op!r}")
-    out = decode_table(pruned, sub)
+    out = decode_table(pruned, sub, part_col=part_col)
     for c in conds:
         out = out.where(c)
     if columns is not None:
-        out = out.select(*columns)
+        out = out.select(*columns, *([part_col] if part_col else []))
     return out
 
 

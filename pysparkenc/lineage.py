@@ -63,6 +63,10 @@ def _lineage_dir(path: str) -> str:
     return f"{path}/lineage"
 
 
+def _deletes_dir(path: str) -> str:
+    return f"{path}/deletes"
+
+
 def read_lineage(spark: SparkSession, path: str) -> DataFrame:
     """Lineage rows under ``path``, read with the EXPLICIT schema (never
     inferred): a directory written before a schema extension (e.g. the
@@ -295,6 +299,142 @@ def encode_with_lineage(
     }
 
 
+def delete_rows(
+    spark: SparkSession,
+    path: str,
+    keys_df: DataFrame,
+    *,
+    key_cols: tuple[str, ...] = ("doc_id",),
+) -> dict:
+    """Equality delete (Iceberg v2 equality-delete semantics): retract
+    every row whose ``key_cols`` tuple appears in ``keys_df`` — WITHOUT
+    touching a single chunk. The training-data takedown path: removing
+    opted-out or contaminated documents from a 100 TB encoded store must
+    not rewrite the store.
+
+    A delete is itself a lineage-committed run: the distinct key tuples
+    land under ``deletes/run_id=<r>/`` first, then ONE single-file
+    lineage append with ``status='delete'`` publishes them (same
+    chunks-then-lineage protocol as data — a crash before the lineage
+    append leaves orphan key files that readers never see).
+
+    Sequencing matches Iceberg: the delete applies only to rows written
+    by runs with ``run_id < r``. A row with the same key appended AFTER
+    the delete is new data and survives — so "remove doc X, later
+    re-ingest a cleaned doc X" does the right thing with no coordination.
+    Time travel composes the same way: ``as_of_run < r`` reads the
+    pre-delete table. :func:`compact_store` materializes visible deletes
+    and supersedes the delete run (its keys stop being scanned);
+    :func:`expire_runs` then removes the key files.
+    """
+    t0 = time.time()
+    run_id = _next_run_id(spark, path)
+    keys = keys_df.select(*key_cols).distinct()
+    keys.write.mode("append").parquet(f"{_deletes_dir(path)}/run_id={run_id}")
+    n = spark.read.parquet(f"{_deletes_dir(path)}/run_id={run_id}").count()
+    wall = time.time() - t0
+    marker = spark.createDataFrame(
+        [(int(run_id), -1, -1, int(n), 0, 0, 0, 0, float(wall), "delete")],
+        LINEAGE_SCHEMA,
+    )
+    marker.coalesce(1).write.mode("append").parquet(_lineage_dir(path))
+    return {"run_id": run_id, "keys": int(n), "wall_sec": time.time() - t0}
+
+
+def read_delete_sets(
+    spark: SparkSession, path: str, *, as_of_run: int | None = None
+) -> list[tuple[int, DataFrame]]:
+    """Committed, unsuperseded delete runs visible at ``as_of_run``, as
+    ``(delete_run_id, keys_df)`` pairs. Only lineage-committed runs are
+    read (orphan key files from a crashed :func:`delete_rows` stay
+    invisible); a compaction marks materialized delete runs
+    ``superseded`` (``part_id = -1``) and they drop out here. The
+    driver-side list is one tiny metadata collect — its length is the
+    number of delete COMMITS, not keys."""
+    lin = read_lineage(spark, path)
+    dels = lin.where(F.col("status") == "delete").select("run_id")
+    sup = lin.where(
+        (F.col("status") == "superseded") & (F.col("part_id") == -1)
+    ).select("run_id", "batch_id")
+    if as_of_run is not None:
+        dels = dels.where(F.col("run_id") <= int(as_of_run))
+        sup = sup.where(F.col("batch_id") <= int(as_of_run))
+    live = dels.join(sup.select("run_id"), "run_id", "left_anti")
+    out: list[tuple[int, DataFrame]] = []
+    for r in sorted(int(x["run_id"]) for x in live.distinct().collect()):
+        out.append(
+            (r, spark.read.parquet(f"{_deletes_dir(path)}/run_id={r}"))
+        )
+    return out
+
+
+def apply_deletes(
+    rows: DataFrame,
+    deletes: list[tuple[int, DataFrame]],
+    *,
+    part_col: str,
+) -> DataFrame:
+    """Anti-join ``rows`` against each delete set, sequenced by run: a
+    row dies only to a delete committed AFTER its writing run
+    (``delete_run > row_run``, with ``row_run = part_col >> 32`` — the
+    combined id :func:`read_committed_chunks` emits). Null-safe on the
+    keys, so a delete key tuple containing NULL retracts NULL-keyed rows.
+
+    Scale shape: each join is an equi-join on the key columns (the run
+    comparison rides along as a post-condition), so Catalyst broadcasts
+    small delete sets (the common case — takedown lists are thousands of
+    keys against billions of rows) and AQE falls back to a shuffle join
+    for huge ones. No collect of key data, ever."""
+    if not deletes:
+        return rows
+    row_run = (F.col(f"__dr.{part_col}") / F.lit(1 << 32)).cast("long")
+    for del_run, keys in deletes:
+        key_cols = keys.columns
+        k = keys.alias("__dk")
+        cond = None
+        for c in key_cols:
+            eq = F.col(f"__dr.{c}").eqNullSafe(F.col(f"__dk.{c}"))
+            cond = eq if cond is None else (cond & eq)
+        cond = cond & (F.lit(int(del_run)) > row_run)
+        rows = rows.alias("__dr").join(k, cond, "left_anti")
+    return rows
+
+
+def read_store(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    *,
+    as_of_run: int | None = None,
+    columns: list[str] | None = None,
+    where=(),
+) -> DataFrame:
+    """THE store read path: committed chunks -> pruned projected scan ->
+    equality deletes applied, all snapshot-consistent at ``as_of_run``.
+    Equivalent to :func:`pysparkenc.engine.scan_table` over
+    :func:`read_committed_chunks` when the store has no deletes (the
+    provenance column is only added — and the anti-joins only planned —
+    when a committed delete run is visible)."""
+    from .engine import scan_table
+
+    chunks = read_committed_chunks(spark, path, as_of_run=as_of_run)
+    deletes = read_delete_sets(spark, path, as_of_run=as_of_run)
+    if not deletes:
+        return scan_table(chunks, schema, columns=columns, where=where)
+    part_col = "__pysparkenc_part"
+    scan_cols = columns
+    if columns is not None:
+        # the anti-joins need every delete key column decoded, even when
+        # the caller's projection drops it — widen the scan, trim after
+        key_names = {c for _, keys in deletes for c in keys.columns}
+        scan_cols = list(dict.fromkeys(list(columns) + sorted(key_names)))
+    out = scan_table(
+        chunks, schema, columns=scan_cols, where=where, part_col=part_col
+    )
+    out = apply_deletes(out, deletes, part_col=part_col)
+    return out.select(*columns) if columns is not None else out.drop(part_col)
+
+
 def compact_store(
     spark: SparkSession,
     path: str,
@@ -346,8 +486,19 @@ def compact_store(
     if not old:
         return {"run_id": -1, "partitions": 0, "superseded": 0,
                 "wall_sec": time.time() - t0}
-    df = decode_table(read_committed_chunks(spark, path, as_of_run=as_of_run),
-                      schema)
+    chunks_in = read_committed_chunks(spark, path, as_of_run=as_of_run)
+    deletes = read_delete_sets(spark, path, as_of_run=as_of_run)
+    if deletes:
+        # materialize equality deletes: the compacted run holds the
+        # post-delete table, and the delete runs are superseded below so
+        # readers stop scanning their key files
+        pc = "__pysparkenc_part"
+        df = apply_deletes(
+            decode_table(chunks_in, schema, part_col=pc), deletes,
+            part_col=pc,
+        ).drop(pc)
+    else:
+        df = decode_table(chunks_in, schema)
     run_id = _next_run_id(spark, path)
     chunks = encode_table(
         df, partition_by=partition_by, num_partitions=num_partitions,
@@ -396,6 +547,13 @@ def compact_store(
             (int(r["run_id"]), int(run_id), int(r["part_id"]),
              0, 0, 0, 0, 0, float(wall), "superseded")
             for r in old
+        ]
+        + [
+            # materialized delete runs: part_id -1 is the whole-run
+            # marker read_delete_sets filters on
+            (int(dr), int(run_id), -1, 0, 0, 0, 0, 0, float(wall),
+             "superseded")
+            for dr, _ in deletes
         ],
         LINEAGE_SCHEMA,
     )
@@ -435,4 +593,17 @@ def expire_runs(spark: SparkSession, path: str) -> dict:
         d = f"{_chunks_dir(path)}/run_id={r}"
         shutil.rmtree(d, ignore_errors=True)
         removed.append(r)
-    return {"expired_runs": removed}
+    # materialized (superseded, part_id = -1) delete runs: key files are
+    # dead weight once no reader will scan them
+    dels = lin.where(F.col("status") == "delete").select("run_id").distinct()
+    dead_dels = sorted(
+        int(r["run_id"])
+        for r in dels.join(
+            sup.where(F.col("part_id") == -1).select("run_id").distinct(),
+            "run_id",
+            "left_semi",
+        ).collect()
+    )
+    for r in dead_dels:
+        shutil.rmtree(f"{_deletes_dir(path)}/run_id={r}", ignore_errors=True)
+    return {"expired_runs": removed, "expired_delete_runs": dead_dels}

@@ -1,0 +1,186 @@
+"""Equality deletes (merge-on-read): retract rows without chunk rewrites.
+
+Covers the Iceberg-v2-shaped contract of pysparkenc.lineage.delete_rows /
+read_store: sequencing vs later appends, time travel, commit atomicity
+(orphan key files invisible), compaction materialization + expiry, and
+multi-column / null keys.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import Row, functions as F
+
+from pysparkenc.lineage import (
+    compact_store,
+    delete_rows,
+    encode_with_lineage,
+    expire_runs,
+    read_delete_sets,
+    read_store,
+)
+from pysparkenc.synth import make_tokens_table
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+
+def test_delete_then_scan_excludes_keys(spark, tmp_path):
+    store = str(tmp_path / "store")
+    df = make_tokens_table(spark, 120, seed=3)
+    encode_with_lineage(df, store, partition_by=("source", "doc_id"),
+                        num_partitions=4)
+    victims = df.limit(7).select("doc_id")
+    out = delete_rows(spark, store, victims)
+    assert out["keys"] == 7
+
+    got = read_store(spark, store)
+    assert got.count() == 113
+    dead = {r["doc_id"] for r in victims.collect()}
+    assert dead.isdisjoint(set(_ids(got)))
+    # full fidelity on the survivors, not just counts
+    exp = df.join(victims, "doc_id", "left_anti")
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+
+
+def test_reappend_after_delete_survives(spark, tmp_path):
+    store = str(tmp_path / "store")
+    df = make_tokens_table(spark, 50, seed=5)
+    encode_with_lineage(df, store, num_partitions=2)
+    victim = df.limit(1).select("doc_id")
+    delete_rows(spark, store, victim)
+    # re-ingest the SAME doc_id after the delete: Iceberg sequencing says
+    # the delete only applies to older data, so the new row must survive
+    readd = df.join(victim, "doc_id", "left_semi")
+    encode_with_lineage(readd, store, num_partitions=1, resume=False)
+    got = read_store(spark, store)
+    assert got.count() == 50
+    vid = victim.collect()[0]["doc_id"]
+    assert vid in _ids(got)
+
+
+def test_delete_time_travel(spark, tmp_path):
+    store = str(tmp_path / "store")
+    df = make_tokens_table(spark, 60, seed=7)
+    r1 = encode_with_lineage(df, store, num_partitions=2)["run_id"]
+    out = delete_rows(spark, store, df.limit(5).select("doc_id"))
+    assert read_store(spark, store, as_of_run=r1).count() == 60
+    assert read_store(spark, store, as_of_run=out["run_id"]).count() == 55
+    assert read_store(spark, store).count() == 55
+
+
+def test_orphan_delete_files_invisible(spark, tmp_path):
+    store = str(tmp_path / "store")
+    df = make_tokens_table(spark, 40, seed=9)
+    encode_with_lineage(df, store, num_partitions=2)
+    # simulate a crash between the key-file write and the lineage commit:
+    # key files exist on disk, no 'delete' lineage row
+    df.limit(3).select("doc_id").write.parquet(
+        str(tmp_path / "store" / "deletes" / "run_id=99")
+    )
+    assert read_delete_sets(spark, store) == []
+    assert read_store(spark, store).count() == 40
+
+
+def test_compaction_materializes_and_expires_deletes(spark, tmp_path):
+    store = str(tmp_path / "store")
+    df = make_tokens_table(spark, 80, seed=11)
+    encode_with_lineage(df, store, partition_by=("source", "doc_id"),
+                        num_partitions=4)
+    victims = df.limit(6).select("doc_id")
+    del_run = delete_rows(spark, store, victims)["run_id"]
+    exp = df.join(victims, "doc_id", "left_anti")
+
+    comp = compact_store(spark, store, schema=df.schema,
+                         partition_by=("source", "doc_id"),
+                         num_partitions=2)
+    assert comp["superseded"] > 0
+    # the delete run is superseded: no reader scans its key files now
+    assert read_delete_sets(spark, store) == []
+    got = read_store(spark, store)
+    assert got.count() == 74
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+    # time travel to the delete snapshot still applies it from key files
+    assert read_store(spark, store, as_of_run=del_run).count() == 74
+
+    gone = expire_runs(spark, store)
+    assert del_run in gone["expired_delete_runs"]
+    assert not glob.glob(os.path.join(store, "deletes", "run_id=*"))
+    assert read_store(spark, store).count() == 74
+
+
+def test_multi_column_and_null_keys(spark, tmp_path):
+    store = str(tmp_path / "store")
+    rows = [
+        Row(k1="a", k2=1, v=10),
+        Row(k1="a", k2=2, v=20),
+        Row(k1=None, k2=3, v=30),
+        Row(k1="b", k2=None, v=40),
+        Row(k1="b", k2=5, v=50),
+    ]
+    df = spark.createDataFrame(rows)
+    encode_with_lineage(df, store, num_partitions=1)
+    keys = spark.createDataFrame(
+        [Row(k1="a", k2=2), Row(k1=None, k2=3), Row(k1="b", k2=None)]
+    )
+    delete_rows(spark, store, keys, key_cols=("k1", "k2"))
+    got = read_store(spark, store)
+    assert sorted(r["v"] for r in got.collect()) == [10, 50]
+
+
+def test_projection_narrower_than_delete_keys(spark, tmp_path):
+    store = str(tmp_path / "store")
+    df = make_tokens_table(spark, 30, seed=13)
+    encode_with_lineage(df, store, num_partitions=2)
+    delete_rows(spark, store, df.limit(4).select("doc_id"))
+    # project a column set that EXCLUDES doc_id: read_store must widen
+    # the scan for the anti-join, then trim back to the ask
+    got = read_store(spark, store, columns=["source", "n_tok"])
+    assert got.columns == ["source", "n_tok"]
+    assert got.count() == 26
+
+
+def test_delete_with_pruning_predicates(spark, tmp_path):
+    store = str(tmp_path / "store")
+    df = make_tokens_table(spark, 100, seed=17)
+    encode_with_lineage(df, store, partition_by=("source", "doc_id"),
+                        num_partitions=4)
+    victims = df.where(F.col("n_tok") >= 64).limit(3).select("doc_id")
+    delete_rows(spark, store, victims)
+    got = read_store(spark, store, columns=["doc_id", "n_tok"],
+                     where=[("n_tok", ">=", 64)])
+    exp = (
+        df.where(F.col("n_tok") >= 64)
+        .join(victims, "doc_id", "left_anti")
+        .select("doc_id", "n_tok")
+    )
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_delete_cli(spark, tmp_path, capsys):
+    import json
+
+    from pysparkenc.cli import main
+
+    src = str(tmp_path / "src")
+    keys = str(tmp_path / "keys")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    df = make_tokens_table(spark, 60, seed=19)
+    df.write.parquet(src)
+    df.limit(5).select("doc_id").write.parquet(keys)
+
+    assert main(["encode", "--input", src, "--output", store]) == 0
+    assert main(["delete", "--input", store, "--keys", keys]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["keys"] == 5
+    assert main(["decode", "--input", store, "--output", out]) == 0
+    assert json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    )["rows"] == 55
+    # verify now reports exactly the retracted rows as mismatches
+    assert main(["verify", "--original", src, "--encoded", store]) == 1
