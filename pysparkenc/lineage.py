@@ -141,11 +141,22 @@ def read_committed_chunks(
 
 def snapshots(spark: SparkSession, path: str) -> DataFrame:
     """Snapshot history: one row per committed run (Iceberg's
-    ``snapshots`` metadata table analogue), newest first. Aggregated
-    from the lineage commit records — no chunk payload is touched."""
-    return (
-        read_lineage(spark, path)
-        .where(F.col("status") == "done")
+    ``snapshots`` metadata table analogue), newest first, with an
+    ``operation`` column: ``append`` (batch encode), ``stream-append``
+    (micro-batch with a ``batch_id``), ``compact`` (a run whose id
+    appears as the compacting ``batch_id`` of superseded markers), or
+    ``delete`` (equality-delete commit; ``n_rows`` is its key count).
+    Aggregated from the lineage commit records — no chunk payload is
+    touched."""
+    lin = read_lineage(spark, path)
+    compacting = (
+        lin.where(F.col("status") == "superseded")
+        .select(F.col("batch_id").alias("run_id"))
+        .distinct()
+        .withColumn("__compact", F.lit(True))
+    )
+    base = (
+        lin.where(F.col("status") == "done")
         .groupBy("run_id", "batch_id")
         .agg(
             F.count(F.lit(1)).alias("partitions"),
@@ -155,8 +166,26 @@ def snapshots(spark: SparkSession, path: str) -> DataFrame:
             F.sum("enc_bytes").alias("enc_bytes"),
             F.max("wall_sec").alias("wall_sec"),
         )
-        .orderBy(F.col("run_id").desc())
+        .join(F.broadcast(compacting), "run_id", "left")
+        .withColumn(
+            "operation",
+            F.when(F.col("__compact"), F.lit("compact"))
+            .when(F.col("batch_id") >= 0, F.lit("stream-append"))
+            .otherwise(F.lit("append")),
+        )
+        .drop("__compact")
     )
+    dels = lin.where(F.col("status") == "delete").select(
+        "run_id", "batch_id",
+        F.lit(0).cast("long").alias("partitions"),
+        F.col("n_rows"),
+        F.lit(0).cast("long").alias("n_values"),
+        F.lit(0).cast("long").alias("plain_bytes"),
+        F.lit(0).cast("long").alias("enc_bytes"),
+        "wall_sec",
+        F.lit("delete").alias("operation"),
+    )
+    return base.unionByName(dels).orderBy(F.col("run_id").desc())
 
 
 def _next_run_id(spark: SparkSession, path: str) -> int:

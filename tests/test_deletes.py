@@ -184,3 +184,18 @@ def test_delete_cli(spark, tmp_path, capsys):
     )["rows"] == 55
     # verify now reports exactly the retracted rows as mismatches
     assert main(["verify", "--original", src, "--encoded", store]) == 1
+
+
+def test_snapshots_operations(spark, tmp_path):
+    from pysparkenc.lineage import snapshots
+
+    store = str(tmp_path / "store")
+    df = make_tokens_table(spark, 40, seed=29)
+    encode_with_lineage(df, store, num_partitions=2)
+    delete_rows(spark, store, df.limit(2).select("doc_id"))
+    compact_store(spark, store, schema=df.schema, num_partitions=1)
+    hist = {int(r["run_id"]): r["operation"]
+            for r in snapshots(spark, store).collect()}
+    assert hist[1] == "append"
+    assert hist[2] == "delete"
+    assert hist[3] == "compact"

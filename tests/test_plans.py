@@ -315,3 +315,27 @@ def test_token_freq_topk_matches_single_window(docs):
         ).where(F.col("rank") <= 7).collect()
     }
     assert got == want
+
+
+def test_delete_anti_join_is_broadcast(spark, tmp_path):
+    """Equality-delete application must plan as a BROADCAST anti-join
+    for small delete sets (takedown lists vs billions of rows): the key
+    files are tiny parquet, so Catalyst's size estimate — or AQE at
+    runtime — must not fall back to a shuffled join, and the run-
+    sequencing condition must ride the join without degrading it to a
+    cartesian/BNLJ over the data side."""
+    from pysparkenc.lineage import (
+        delete_rows,
+        encode_with_lineage,
+        read_store,
+    )
+    from pysparkenc.synth import make_tokens_table
+
+    store = str(tmp_path / "store")
+    df = make_tokens_table(spark, 150, seed=23)
+    encode_with_lineage(df, store, num_partitions=2)
+    delete_rows(spark, store, df.limit(4).select("doc_id"))
+    plan = plan_of(read_store(spark, store))
+    assert "BroadcastExchange" in plan
+    # the anti-join must not plan as a nested-loop over the DATA side
+    assert "CartesianProduct" not in plan
