@@ -1195,24 +1195,24 @@ def q_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pysparkenc.textops import portable_hash60
 
     docs = _read(spark, sf_dir, "documents")
-    with tempfile.TemporaryDirectory() as tmp:
-        store = f"{tmp}/store"
-        encode_with_lineage(
-            docs, store, partition_by=("source", "doc_id"), num_partitions=8
+    # mkdtemp WITHOUT a context manager (same as q_datasource_scan): the
+    # returned DataFrame stays recomputable — a cached copy over a
+    # deleted tmpdir would FileNotFound on any cache eviction mid-gate
+    store = tempfile.mkdtemp(prefix="pysparkenc_del_") + "/store"
+    encode_with_lineage(
+        docs, store, partition_by=("source", "doc_id"), num_partitions=8
+    )
+    victims = docs.where(
+        F.pmod(
+            portable_hash60(F.concat(F.col("doc_id"), F.lit("del"))),
+            F.lit(10),
         )
-        victims = docs.where(
-            F.pmod(
-                portable_hash60(F.concat(F.col("doc_id"), F.lit("del"))),
-                F.lit(10),
-            )
-            == 0
-        ).select("doc_id")
-        delete_rows(spark, store, victims)
-        out = read_store(
-            spark, store, columns=["doc_id", "source", "lang", "n_chars"]
-        )
-        out.cache().count()  # materialize before the tmp store vanishes
-    return out
+        == 0
+    ).select("doc_id")
+    delete_rows(spark, store, victims)
+    return read_store(
+        spark, store, columns=["doc_id", "source", "lang", "n_chars"]
+    )
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -130,7 +130,9 @@ def cmd_decode(args: argparse.Namespace) -> int:
             spark, args.input, as_of_run=args.as_of_run,
             columns=want, where=where,
         )
-    except KeyError as e:
+    except (KeyError, ValueError) as e:
+        # unknown column (KeyError) or unsupported predicate op
+        # (ValueError): JSON error + exit 2, never a traceback
         print(json.dumps({"error": str(e)}), file=sys.stderr)
         return 2
     decoded.write.mode(args.mode).parquet(args.output)

@@ -780,13 +780,30 @@ def encode_table(
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism * 2
 
+    def _contains_interval(dt) -> bool:
+        if isinstance(dt, (DayTimeIntervalType, YearMonthIntervalType)):
+            return True
+        if isinstance(dt, StructType):
+            return any(_contains_interval(x.dataType) for x in dt.fields)
+        if isinstance(dt, ArrayType):
+            return _contains_interval(dt.elementType)
+        if isinstance(dt, MapType):
+            return _contains_interval(dt.keyType) or _contains_interval(
+                dt.valueType
+            )
+        return False
+
     for f in df.schema.fields:
-        logical = _logical_of(f)  # validate eagerly (driver-side error)
-        if "interval_" in logical and not logical.startswith("interval_"):
+        _logical_of(f)  # validate eagerly (driver-side error)
+        if _contains_interval(f.dataType) and not isinstance(
+            f.dataType, (DayTimeIntervalType, YearMonthIntervalType)
+        ):
             # Spark's Arrow interop cannot carry interval values through
             # mapInArrow at all (PySparkNotImplementedError), so nested
             # intervals have no transport; top-level ones are converted
-            # around the Arrow stage below.
+            # around the Arrow stage below. (A type check, not a logical-
+            # string scan: a struct FIELD merely named `interval_*` must
+            # not trip this.)
             raise TypeError(
                 f"column {f.name}: INTERVAL nested inside {f.dataType} is "
                 "not encodable — flatten it to a top-level column, or cast "
@@ -809,7 +826,20 @@ def encode_table(
                 F.lit("1970-01-01 00:00:00Z").cast("timestamp") + F.col(f.name)
             )
         elif isinstance(f.dataType, YearMonthIntervalType):
-            iv_exprs[f.name] = F.col(f.name).cast("int")
+            # widen to YEAR TO MONTH first: casting a YEAR-only interval
+            # straight to int yields YEARS (Spark divides by the end
+            # field), while the stored physical unit — and what decode
+            # rebuilds via make_ym_interval — is MONTHS
+            iv_exprs[f.name] = (
+                F.col(f.name)
+                .cast(
+                    YearMonthIntervalType(
+                        YearMonthIntervalType.YEAR,
+                        YearMonthIntervalType.MONTH,
+                    )
+                )
+                .cast("int")
+            )
     if iv_exprs:
         df = df.withColumns(iv_exprs)
     if isinstance(codec, str):
@@ -1316,6 +1346,8 @@ def decode_table(
     Sweep at sf0.1 (isolated, best-of-2): lineitem (wide, 11 cols)
     32→0.87s 64→0.75s 128→0.70s; documents (fat text) 32→0.74s
     64→0.58s 128→0.71s. 64 takes most of the win on both shapes while
+    keeping the worst-case per-task footprint (4096-row pages of ~2 KB
+    rows) near 512 MB; go higher only with bytes-targeted pages.
 
     ``part_col``: also emit each row's chunk-group partition id (the
     combined ``run_id * 2^32 + part_id`` of a lineage-committed store)
@@ -1323,8 +1355,6 @@ def decode_table(
     need the writing run, e.g. equality-delete sequencing
     (:func:`pysparkenc.lineage.read_store`). Costs nothing: the id is a
     grouping key the decode shuffle already carries.
-    keeping the worst-case per-task footprint (4096-row pages of ~2 KB
-    rows) near 512 MB; go higher only with bytes-targeted pages.
     """
     if schema is None:
         schema = output_schema_of_chunks(chunks_df)
@@ -1780,6 +1810,19 @@ def decode_table_where(
     return out
 
 
+def _has_converted_domain(field) -> bool:
+    """True when the column's footer stats (and therefore every
+    ``where`` value) live in a *physical* domain distinct from the Spark
+    type — see :func:`_physical_bound`."""
+    logical = _logical_of(field)
+    return (
+        logical == "date_day"
+        or logical.startswith("timestamp")
+        or logical.startswith("interval_")
+        or logical.startswith("decimal(")
+    )
+
+
 def _physical_bound(field, v):
     """Turn a bound given in a column's *physical* numeric domain (the
     domain footer stats live in: epoch-days for DATE, micros for
@@ -1823,8 +1866,14 @@ def scan_table(
     - ``(col, "==", v)``     -> dict-page probe + bloom + stats
     - ``(col, "in", [v..])`` -> dict-page probe + bloom + stats
     - ``(col, ">=", v)`` / ``(col, "<=", v)`` / ``(col, "between",
-      (lo, hi))`` -> min/max stat range skip (numeric bounds in the
-      column's physical domain — see :func:`_physical_bound`)
+      (lo, hi))`` -> min/max stat range skip
+
+    Values for EVERY op are given in the column's *physical* numeric
+    domain for converted types (epoch-days for DATE, micros for
+    timestamps/day-time intervals, months for year-month intervals,
+    unscaled int for DECIMAL — see :func:`_physical_bound`); the
+    residual row filters convert them back, so prune and filter always
+    agree.
 
     The surviving chunk groups decode ONLY the requested ``columns``
     plus the predicate columns (column projection pushes into the chunk
@@ -1859,11 +1908,20 @@ def scan_table(
         field = sub[col]
         if op in ("==", "="):
             pruned = prune_chunks_equals(pruned, col, v)
-            conds.append(F.col(col) == F.lit(v))
+            # residual filter in the SAME physical domain the prune (and
+            # the caller) used — a raw literal would compare a decimal
+            # column to its unscaled int, or a timestamp to bare micros
+            conds.append(F.col(col) == _physical_bound(field, v))
         elif op == "in":
             vals = list(v)
             pruned = prune_chunks_isin(pruned, col, vals)
-            conds.append(F.col(col).isin(vals))
+            if _has_converted_domain(field):
+                c = F.col(col) == _physical_bound(field, vals[0])
+                for x in vals[1:]:
+                    c = c | (F.col(col) == _physical_bound(field, x))
+                conds.append(c)
+            else:
+                conds.append(F.col(col).isin(vals))
         elif op in (">=", "<=", "between"):
             lo = v[0] if op == "between" else (v if op == ">=" else None)
             hi = v[1] if op == "between" else (v if op == "<=" else None)

@@ -359,7 +359,13 @@ def delete_rows(
     t0 = time.time()
     run_id = _next_run_id(spark, path)
     keys = keys_df.select(*key_cols).distinct()
-    keys.write.mode("append").parquet(f"{_deletes_dir(path)}/run_id={run_id}")
+    # overwrite, not append: a retry after a crashed attempt reuses the
+    # same (uncommitted) run_id, and must REPLACE the orphan key files —
+    # appending would silently commit the abandoned list alongside the
+    # new one
+    keys.write.mode("overwrite").parquet(
+        f"{_deletes_dir(path)}/run_id={run_id}"
+    )
     n = spark.read.parquet(f"{_deletes_dir(path)}/run_id={run_id}").count()
     wall = time.time() - t0
     marker = spark.createDataFrame(
@@ -503,6 +509,21 @@ def compact_store(
     from .engine import decode_table
 
     t0 = time.time()
+    if as_of_run is not None:
+        # Compaction REWRITES the current table — it must see every
+        # commit. Rewriting an older snapshot would resurrect rows a
+        # later delete retracted (the rewritten rows get a run_id newer
+        # than the delete, so its sequencing no longer applies) and fork
+        # history. as_of_run is accepted only as an idempotence fence:
+        # it may name the latest commit, nothing older.
+        latest = _next_run_id(spark, path) - 1
+        if int(as_of_run) < latest:
+            raise ValueError(
+                f"compact_store(as_of_run={as_of_run}) is older than the "
+                f"latest commit (run {latest}): compacting a non-latest "
+                "snapshot would rewrite history (and resurrect rows "
+                "deleted after it). Time travel is for reads."
+            )
     old = (
         read_committed_chunks(spark, path, as_of_run=as_of_run)
         .select(

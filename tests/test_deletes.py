@@ -199,3 +199,43 @@ def test_snapshots_operations(spark, tmp_path):
     assert hist[1] == "append"
     assert hist[2] == "delete"
     assert hist[3] == "compact"
+
+
+def test_compact_refuses_stale_snapshot(spark, tmp_path):
+    """Compacting a pre-delete snapshot would rewrite history AND
+    resurrect the deleted rows (rewritten rows outrun the delete's
+    sequence number) — it must refuse, not silently undo a takedown."""
+    import pytest
+
+    store = str(tmp_path / "store")
+    df = make_tokens_table(spark, 40, seed=31)
+    r1 = encode_with_lineage(df, store, num_partitions=2)["run_id"]
+    delete_rows(spark, store, df.limit(3).select("doc_id"))
+    with pytest.raises(ValueError, match="non-latest snapshot"):
+        compact_store(spark, store, schema=df.schema, as_of_run=r1)
+    # latest-run as_of is fine (idempotence fence), and keeps the delete
+    comp = compact_store(spark, store, schema=df.schema, num_partitions=1,
+                         as_of_run=r1 + 1)
+    assert comp["partitions"] >= 1
+    assert read_store(spark, store).count() == 37
+
+
+def test_delete_retry_replaces_orphan_keys(spark, tmp_path):
+    """A delete retry after a crash (same uncommitted run_id) must
+    REPLACE the orphan key files, not union them in."""
+    store = str(tmp_path / "store")
+    df = make_tokens_table(spark, 40, seed=37)
+    encode_with_lineage(df, store, num_partitions=2)
+    ids = _ids(df)
+    # crashed first attempt: key files on disk, no lineage commit
+    spark.createDataFrame([(i,) for i in ids[:10]], "doc_id string") \
+        .write.parquet(str(tmp_path / "store" / "deletes" / "run_id=2"))
+    # corrected retry deletes only 2 docs
+    out = delete_rows(
+        spark, store,
+        spark.createDataFrame([(i,) for i in ids[30:32]], "doc_id string"),
+    )
+    assert out["run_id"] == 2 and out["keys"] == 2
+    got = read_store(spark, store)
+    assert got.count() == 38
+    assert ids[0] in _ids(got)  # the abandoned list did NOT apply

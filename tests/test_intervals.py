@@ -99,3 +99,49 @@ def test_interval_pruned_range_decode(spark):
     got = decode_table_where(chunks, df.schema, "dur", lo=lo, hi=hi)
     ids = sorted(r["id"] for r in got.select("id").collect())
     assert ids == list(range(2000, 2501))
+
+
+def test_restricted_field_intervals_roundtrip(spark):
+    """YEAR-only / MONTH-only / HOUR-restricted intervals: the encode
+    cast must normalize to the physical unit (months / micros) — a bare
+    int cast of an INTERVAL YEAR yields YEARS and silently corrupts
+    (decode would rebuild from months: 3 years -> 3 months -> 0 years)."""
+    df = spark.sql("""
+        SELECT id,
+          CAST(make_ym_interval(CAST(id AS INT), 0) AS INTERVAL YEAR) AS yy,
+          CAST(make_ym_interval(0, CAST(id AS INT)) AS INTERVAL MONTH) AS mm,
+          CAST(make_dt_interval(0, CAST(id AS INT), 0, 0)
+               AS INTERVAL HOUR) AS hh
+        FROM range(25)
+    """)
+    back = decode_table(encode_table(df, num_partitions=2), df.schema)
+    assert back.schema == df.schema
+
+    def proj(d):
+        epoch = F.lit("1970-01-01 00:00:00Z").cast("timestamp")
+        return {
+            r["id"]: (r["y"], r["m"], r["h"])
+            for r in d.select(
+                "id",
+                F.col("yy").cast("interval year to month").cast("int")
+                .alias("y"),
+                F.col("mm").cast("int").alias("m"),
+                F.unix_micros(epoch + F.col("hh")).alias("h"),
+            ).collect()
+        }
+
+    assert proj(back) == proj(df)
+    # and the values are genuinely non-trivial (id=7 -> 84 months)
+    assert proj(df)[7][0] == 84
+
+
+def test_struct_field_named_interval_is_encodable(spark):
+    """A struct FIELD merely named interval_* must not trip the nested-
+    interval guard (it scans types, not logical strings)."""
+    df = spark.sql(
+        "SELECT id, named_struct('interval_ms', id * 10) AS meta "
+        "FROM range(50)"
+    )
+    back = decode_table(encode_table(df, num_partitions=2), df.schema)
+    got = {r["id"]: r["meta"]["interval_ms"] for r in back.collect()}
+    assert got == {i: i * 10 for i in range(50)}

@@ -113,3 +113,35 @@ def test_scan_timestamp_range_in_physical_micros(spark, li_chunks):
         "l_orderkey", "l_shipdate")
     assert got.count() == want.count() > 0
     assert got.agg(F.min("l_shipdate")).collect()[0][0] >= cut
+
+
+def test_scan_equality_on_converted_domains(spark):
+    """==/in predicates on decimal and timestamp columns: the prune AND
+    the residual filter must both work in the physical domain (unscaled
+    int / micros). Before the fix the residual compared the decoded
+    decimal against the raw unscaled literal (silently empty/wrong) and
+    a timestamp equality raised DATATYPE_MISMATCH."""
+    df = spark.sql("""
+        SELECT id,
+          CAST(CAST(id AS DECIMAL(10,2)) / 100 AS DECIMAL(10,2)) AS price,
+          timestamp_micros(id * 1000000) AS ts
+        FROM range(500)
+    """)
+    chunks = encode_table(df, num_partitions=2)
+    chunks.cache().count()
+    try:
+        # price == 1.50 <=> unscaled 150
+        got = scan_table(chunks, df.schema, columns=["id", "price"],
+                         where=[("price", "==", 150)])
+        assert [(r["id"], str(r["price"])) for r in got.collect()] \
+            == [(150, "1.50")]
+        # ts == 7s <=> 7_000_000 micros
+        got = scan_table(chunks, df.schema, columns=["id"],
+                         where=[("ts", "==", 7_000_000)])
+        assert [r["id"] for r in got.collect()] == [7]
+        # in-list over a converted domain
+        got = scan_table(chunks, df.schema, columns=["id"],
+                         where=[("price", "in", [150, 275, 499])])
+        assert sorted(r["id"] for r in got.collect()) == [150, 275, 499]
+    finally:
+        chunks.unpersist()
