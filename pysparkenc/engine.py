@@ -1865,8 +1865,9 @@ def scan_table(
 
     - ``(col, "==", v)``     -> dict-page probe + bloom + stats
     - ``(col, "in", [v..])`` -> dict-page probe + bloom + stats
-    - ``(col, ">=", v)`` / ``(col, "<=", v)`` / ``(col, "between",
-      (lo, hi))`` -> min/max stat range skip
+    - ``(col, ">=", v)`` / ``(col, "<=", v)`` / ``(col, ">", v)`` /
+      ``(col, "<", v)`` / ``(col, "between", (lo, hi))`` -> min/max
+      stat range skip (strict ops prune with the inclusive superset)
 
     Values for EVERY op are given in the column's *physical* numeric
     domain for converted types (epoch-days for DATE, micros for
@@ -1922,14 +1923,19 @@ def scan_table(
                 conds.append(c)
             else:
                 conds.append(F.col(col).isin(vals))
-        elif op in (">=", "<=", "between"):
-            lo = v[0] if op == "between" else (v if op == ">=" else None)
-            hi = v[1] if op == "between" else (v if op == "<=" else None)
+        elif op in (">=", "<=", ">", "<", "between"):
+            # strict ops prune with the INCLUSIVE bound (a superset —
+            # pruning is never a correctness dependency) and apply the
+            # strict comparison in the residual row filter
+            lo = v[0] if op == "between" else (v if op in (">=", ">") else None)
+            hi = v[1] if op == "between" else (v if op in ("<=", "<") else None)
             pruned = prune_chunks(pruned, col, lo, hi)
             if lo is not None:
-                conds.append(F.col(col) >= _physical_bound(field, lo))
+                b = _physical_bound(field, lo)
+                conds.append(F.col(col) > b if op == ">" else F.col(col) >= b)
             if hi is not None:
-                conds.append(F.col(col) <= _physical_bound(field, hi))
+                b = _physical_bound(field, hi)
+                conds.append(F.col(col) < b if op == "<" else F.col(col) <= b)
         else:
             raise ValueError(f"unsupported predicate op {op!r}")
     out = decode_table(pruned, sub, part_col=part_col)

@@ -145,3 +145,18 @@ def test_scan_equality_on_converted_domains(spark):
         assert sorted(r["id"] for r in got.collect()) == [150, 275, 499]
     finally:
         chunks.unpersist()
+
+
+def test_scan_strict_inequalities(spark, li_chunks):
+    df, chunks = li_chunks
+    got = scan_table(
+        chunks, df.schema, columns=["l_orderkey"],
+        where=[("l_orderkey", ">", 1000), ("l_orderkey", "<", 1100)],
+    )
+    want = sorted(
+        r[0] for r in df.where((F.col("l_orderkey") > 1000)
+                               & (F.col("l_orderkey") < 1100))
+        .select("l_orderkey").collect()
+    )
+    assert sorted(r[0] for r in got.collect()) == want
+    assert want  # non-vacuous

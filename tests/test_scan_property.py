@@ -38,7 +38,13 @@ def store(spark):
 
 def _gen_predicate(rng: random.Random):
     kind = rng.choice(["int_eq", "int_range", "str_eq", "in_list",
-                       "small_le", "str_range"])
+                       "small_le", "str_range", "int_gt", "int_lt"])
+    if kind == "int_gt":
+        v = rng.randrange(0, 1000)
+        return ("k_int", ">", v), (F.col("k_int") > v)
+    if kind == "int_lt":
+        v = rng.randrange(0, 1000)
+        return ("k_int", "<", v), (F.col("k_int") < v)
     if kind == "int_eq":
         v = rng.randrange(0, 1100)  # sometimes absent (>996)
         return ("k_int", "==", v), (F.col("k_int") == v)
