@@ -415,23 +415,30 @@ def apply_deletes(
     combined id :func:`read_committed_chunks` emits). Null-safe on the
     keys, so a delete key tuple containing NULL retracts NULL-keyed rows.
 
-    Scale shape: each join is an equi-join on the key columns (the run
-    comparison rides along as a post-condition), so Catalyst broadcasts
-    small delete sets (the common case — takedown lists are thousands of
-    keys against billions of rows) and AQE falls back to a shuffle join
-    for huge ones. No collect of key data, ever."""
+    Scale shape: all delete runs sharing a key-column set UNION into one
+    keys-with-``__del_run`` side and apply as ONE equi-join on the key
+    columns (the run comparison rides along as a post-condition) — the
+    join count stays constant no matter how many delete commits pile up
+    between compactions. Catalyst broadcasts small delete sets (the
+    common case — takedown lists are thousands of keys against billions
+    of rows) and AQE falls back to a shuffle join for huge ones. No
+    collect of key data, ever."""
     if not deletes:
         return rows
     row_run = (F.col(f"__dr.{part_col}") / F.lit(1 << 32)).cast("long")
+    by_keyset: dict[tuple[str, ...], DataFrame] = {}
     for del_run, keys in deletes:
-        key_cols = keys.columns
-        k = keys.alias("__dk")
+        tagged = keys.withColumn("__del_run", F.lit(int(del_run)))
+        kc = tuple(keys.columns)
+        prev = by_keyset.get(kc)
+        by_keyset[kc] = tagged if prev is None else prev.unionByName(tagged)
+    for key_cols, union in by_keyset.items():
         cond = None
         for c in key_cols:
             eq = F.col(f"__dr.{c}").eqNullSafe(F.col(f"__dk.{c}"))
             cond = eq if cond is None else (cond & eq)
-        cond = cond & (F.lit(int(del_run)) > row_run)
-        rows = rows.alias("__dr").join(k, cond, "left_anti")
+        cond = cond & (F.col("__dk.__del_run") > row_run)
+        rows = rows.alias("__dr").join(union.alias("__dk"), cond, "left_anti")
     return rows
 
 

@@ -239,3 +239,41 @@ def test_delete_retry_replaces_orphan_keys(spark, tmp_path):
     got = read_store(spark, store)
     assert got.count() == 38
     assert ids[0] in _ids(got)  # the abandoned list did NOT apply
+
+
+def test_many_delete_runs_one_join(spark, tmp_path):
+    """N delete commits with the same key set apply as ONE anti-join
+    (union side), and sequencing still holds per delete run."""
+    store = str(tmp_path / "store")
+    df = make_tokens_table(spark, 60, seed=41)
+    encode_with_lineage(df, store, num_partitions=2)
+    ids = _ids(df)
+    for i in range(3):
+        delete_rows(
+            spark, store,
+            spark.createDataFrame(
+                [(x,) for x in ids[i * 2:i * 2 + 2]], "doc_id string"
+            ),
+        )
+    got = read_store(spark, store)
+    assert got.count() == 54
+    assert set(ids[:6]).isdisjoint(set(_ids(got)))
+
+    # plan: the three same-keyset delete runs coalesce into the SAME
+    # number of anti-joins a single delete run plans (one union side) —
+    # the join count must not grow with the number of delete commits
+    store1 = store + "_one"
+    encode_with_lineage(df, store1, num_partitions=2)
+    delete_rows(
+        spark, store1,
+        spark.createDataFrame([(ids[0],)], "doc_id string"),
+    )
+
+    def anti_count(path):
+        import contextlib, io
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            read_store(spark, path).explain("formatted")
+        return buf.getvalue().count("LeftAnti")
+
+    assert anti_count(store) == anti_count(store1)
