@@ -825,12 +825,100 @@ pass 2-3x.
         f.write(body)
 
 
+def run_delete_bench(n_rows: int, cpus: int, trials: int = 5) -> dict:
+    """What does merge-on-read cost? Encode a tokens table into a
+    lineage store, commit an equality delete of ~0.5% of doc_ids
+    (a realistic takedown-list scale), then time the SAME full-store
+    aggregate (a) at the pre-delete snapshot — the plan with no delete
+    joins — and (b) at latest, where the broadcast anti-join applies.
+    The delta is the merge-on-read tax a reader pays until the next
+    compaction; (c) times the scan after compact_store materializes the
+    delete (back to the join-free plan, now with big pages)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pysparkenc.lineage import (
+        compact_store,
+        delete_rows,
+        encode_with_lineage,
+        read_store,
+    )
+    from pysparkenc.synth import make_tokens_table
+    from pysparkenc.textops import portable_hash60
+
+    spark = make_spark(min(cpus, 16))
+    tmpdir = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    tmp = tempfile.mkdtemp(prefix="pysparkenc-del-", dir=tmpdir)
+    try:
+        store = f"{tmp}/store"
+        df = make_tokens_table(spark, n_rows, seed=42)
+        r1 = encode_with_lineage(
+            df, store, partition_by=("source", "doc_id"),
+            num_partitions=32,
+        )["run_id"]
+        victims = df.where(
+            F.pmod(portable_hash60(F.concat("doc_id", F.lit("d"))),
+                   F.lit(200)) == 0
+        ).select("doc_id")
+        n_del = delete_rows(spark, store, victims)["keys"]
+
+        def one(**kw) -> tuple[float, int]:
+            t0 = time.monotonic()
+            r = (
+                read_store(spark, store, **kw)
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("n_tok").alias("toks"))
+                .collect()[0]
+            )
+            return time.monotonic() - t0, int(r["n"])
+
+        def agg_wall(**kw) -> tuple[float, int]:
+            best, rows = 1e9, None
+            for _ in range(trials):
+                w, n = one(**kw)
+                best, rows = min(best, w), n
+            return round(best, 3), rows
+
+        # interleave the pre/post-delete legs best-of-N: shared-host
+        # contention windows must tax both legs equally or a ~10%
+        # effect drowns in noise (same rule as the skew benches)
+        w_pre = w_del = 1e9
+        n_pre = n_post = 0
+        for _ in range(trials):
+            w, n_pre = one(as_of_run=r1)   # no delete joins in plan
+            w_pre = min(w_pre, w)
+            w, n_post = one()              # merge-on-read
+            w_del = min(w_del, w)
+        w_pre, w_del = round(w_pre, 3), round(w_del, 3)
+        compact_store(spark, store, schema=df.schema,
+                      partition_by=("source", "doc_id"), num_partitions=32)
+        w_cmp, n_cmp = agg_wall()               # materialized
+        assert n_post == n_cmp == n_pre - n_del
+        return {
+            "metric": "equality-delete merge-on-read scan overhead",
+            "rows": n_rows,
+            "deleted_keys": n_del,
+            "scan_pre_delete_sec": w_pre,
+            "scan_merge_on_read_sec": w_del,
+            "scan_after_compaction_sec": w_cmp,
+            "merge_on_read_overhead": round(w_del / max(w_pre, 1e-9), 3),
+            "rows_visible": n_post,
+            "cpus": min(cpus, 16),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--page-sweep", action="store_true")
     ap.add_argument("--skew", action="store_true")
     ap.add_argument("--pack-skew", action="store_true")
+    ap.add_argument("--deletes", action="store_true")
     ap.add_argument("--scaling-rounds", type=int, default=3)
     ap.add_argument("--rows", type=int, default=200_000)
     ap.add_argument("--worker-cpus", type=int, default=None)
@@ -849,6 +937,8 @@ def main() -> None:
         out = run_skew(args.rows, args.cpus)
     elif args.pack_skew:
         out = run_pack_skew(args.rows, args.cpus)
+    elif args.deletes:
+        out = run_delete_bench(args.rows, args.cpus)
     else:
         out = run_bench(args.sf_dir, args.cpus)
     print(json.dumps(out))
