@@ -1168,7 +1168,12 @@ def q_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pysparkenc.datasource import register
 
     register(spark)
-    store = tempfile.mkdtemp(prefix="pysparkenc_ds_") + "/store"
+    import atexit
+    import shutil
+
+    _ds_root = tempfile.mkdtemp(prefix="pysparkenc_ds_")
+    atexit.register(shutil.rmtree, _ds_root, ignore_errors=True)
+    store = _ds_root + "/store"
     docs = _read(spark, sf_dir, "documents")
     docs.write.format("pysparkenc").mode("overwrite").save(store)
     back = spark.read.format("pysparkenc").load(store)
@@ -1197,8 +1202,15 @@ def q_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     # mkdtemp WITHOUT a context manager (same as q_datasource_scan): the
     # returned DataFrame stays recomputable — a cached copy over a
-    # deleted tmpdir would FileNotFound on any cache eviction mid-gate
-    store = tempfile.mkdtemp(prefix="pysparkenc_del_") + "/store"
+    # deleted tmpdir would FileNotFound on any cache eviction mid-gate.
+    # atexit reclaims it when the interpreter exits (outliving the
+    # session is all recomputability needs; leaking forever is not)
+    import atexit
+    import shutil
+
+    root = tempfile.mkdtemp(prefix="pysparkenc_del_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    store = root + "/store"
     encode_with_lineage(
         docs, store, partition_by=("source", "doc_id"), num_partitions=8
     )

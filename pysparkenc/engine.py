@@ -1769,7 +1769,9 @@ def decode_table_where_equals(
     if schema is None:
         schema = output_schema_of_chunks(chunks_df)
     out = decode_table(prune_chunks_equals(chunks_df, col, value), schema)
-    return out.where(F.col(col) == F.lit(value))
+    # residual in the SAME physical domain the prune used (unscaled int
+    # for DECIMAL, micros for timestamps, ...) — see _physical_bound
+    return out.where(F.col(col) == _physical_bound(schema[col], value))
 
 
 def decode_table_where_isin(
@@ -1782,8 +1784,9 @@ def decode_table_where_isin(
     chunk groups, the exact membership predicate runs on the survivors."""
     if schema is None:
         schema = output_schema_of_chunks(chunks_df)
+    values = list(values)
     out = decode_table(prune_chunks_isin(chunks_df, col, values), schema)
-    return out.where(F.col(col).isin(list(values)))
+    return out.where(_isin_physical(schema[col], values))
 
 
 def decode_table_where(
@@ -1810,6 +1813,18 @@ def decode_table_where(
     return out
 
 
+def _isin_physical(field, values: list):
+    """Flat IN-list residual with every probe converted from the
+    physical domain (:func:`_physical_bound`); Column args keep the
+    expression one ``In`` node deep — an OR-chain would grow the tree
+    linearly with takedown-scale lists."""
+    if _has_converted_domain(field):
+        return F.col(field.name).isin(
+            *[_physical_bound(field, v) for v in values]
+        )
+    return F.col(field.name).isin(values)
+
+
 def _has_converted_domain(field) -> bool:
     """True when the column's footer stats (and therefore every
     ``where`` value) live in a *physical* domain distinct from the Spark
@@ -1831,6 +1846,14 @@ def _physical_bound(field, v):
     logical = _logical_of(field)
     if logical == "date_day":
         return F.date_add(F.lit("1970-01-01").cast("date"), int(v))
+    if logical.startswith("timestamp_ntz"):
+        # tz-free construction: NTZ wall-clock micros are the physical
+        # value, but timestamp_micros builds an LTZ instant and a cast
+        # to NTZ would shift it by the session timezone — add the micros
+        # to the NTZ epoch as a day-time interval instead
+        return F.lit("1970-01-01 00:00:00").cast("timestamp_ntz") + (
+            F.timestamp_micros(F.lit(int(v))) - F.timestamp_micros(F.lit(0))
+        )
     if logical.startswith("timestamp"):
         return F.timestamp_micros(F.lit(int(v)))
     if logical.startswith("interval_dt_us"):
@@ -1916,13 +1939,7 @@ def scan_table(
         elif op == "in":
             vals = list(v)
             pruned = prune_chunks_isin(pruned, col, vals)
-            if _has_converted_domain(field):
-                c = F.col(col) == _physical_bound(field, vals[0])
-                for x in vals[1:]:
-                    c = c | (F.col(col) == _physical_bound(field, x))
-                conds.append(c)
-            else:
-                conds.append(F.col(col).isin(vals))
+            conds.append(_isin_physical(field, vals))
         elif op in (">=", "<=", ">", "<", "between"):
             # strict ops prune with the INCLUSIVE bound (a superset —
             # pruning is never a correctness dependency) and apply the

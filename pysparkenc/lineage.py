@@ -373,6 +373,23 @@ def delete_rows(
         LINEAGE_SCHEMA,
     )
     marker.coalesce(1).write.mode("append").parquet(_lineage_dir(path))
+    # Stores are SINGLE-WRITER (same contract as encode/compact): two
+    # concurrent committers can race _next_run_id to the same id, and
+    # the overwrite key-file write means only the last writer's list
+    # survives. Detect the collision post-commit and fail LOUDLY — a
+    # silently dropped takedown list is the one unacceptable outcome.
+    n_markers = (
+        read_lineage(spark, path)
+        .where(F.col("run_id") == int(run_id))
+        .count()
+    )
+    if n_markers != 1:
+        raise RuntimeError(
+            f"concurrent commit detected on run {run_id}: {n_markers} "
+            "lineage rows share the id and only the last-written key "
+            "files survive. Stores are single-writer — re-apply this "
+            "delete list."
+        )
     return {"run_id": run_id, "keys": int(n), "wall_sec": time.time() - t0}
 
 

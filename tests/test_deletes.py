@@ -277,3 +277,22 @@ def test_many_delete_runs_one_join(spark, tmp_path):
         return buf.getvalue().count("LeftAnti")
 
     assert anti_count(store) == anti_count(store1)
+
+
+def test_concurrent_delete_commit_detected(spark, tmp_path, monkeypatch):
+    """Two committers racing _next_run_id to the same id: the second
+    commit must raise instead of silently dropping the first's keys."""
+    import pytest
+
+    import pysparkenc.lineage as L
+
+    store = str(tmp_path / "store")
+    df = make_tokens_table(spark, 30, seed=43)
+    encode_with_lineage(df, store, num_partitions=1)
+    ids = _ids(df)
+    monkeypatch.setattr(L, "_next_run_id", lambda s, p: 2)
+    delete_rows(spark, store,
+                spark.createDataFrame([(ids[0],)], "doc_id string"))
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        delete_rows(spark, store,
+                    spark.createDataFrame([(ids[1],)], "doc_id string"))

@@ -160,3 +160,47 @@ def test_scan_strict_inequalities(spark, li_chunks):
     )
     assert sorted(r[0] for r in got.collect()) == want
     assert want  # non-vacuous
+
+
+def test_where_equals_isin_converted_domains(spark):
+    """The decode_table_where_equals / _isin siblings share scan_table's
+    physical-domain residual (unscaled int / micros), including
+    TIMESTAMP_NTZ under a non-UTC session timezone (an LTZ literal would
+    shift NTZ comparisons by the session zone)."""
+    from pysparkenc.engine import (
+        decode_table_where_equals,
+        decode_table_where_isin,
+        encode_table,
+    )
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        df = spark.sql("""
+            SELECT id,
+              CAST(CAST(id AS DECIMAL(10,2)) / 100 AS DECIMAL(10,2)) AS price,
+              CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ)
+                + make_dt_interval(0, 0, 0, CAST(id AS DECIMAL(10,0)))
+                AS ts_ntz
+            FROM range(300)
+        """)
+        chunks = encode_table(df, num_partitions=2)
+        chunks.cache().count()
+        try:
+            got = decode_table_where_equals(chunks, df.schema, "price", 250)
+            assert [r["id"] for r in got.collect()] == [250]
+            got = decode_table_where_isin(chunks, df.schema, "price",
+                                          [150, 299])
+            assert sorted(r["id"] for r in got.collect()) == [150, 299]
+            # NTZ wall-clock micros, independent of session tz
+            got = decode_table_where_equals(chunks, df.schema, "ts_ntz",
+                                            9_000_000)
+            assert [r["id"] for r in got.collect()] == [9]
+            from pysparkenc.engine import scan_table
+            got = scan_table(chunks, df.schema, columns=["id"],
+                             where=[("ts_ntz", "==", 12_000_000)])
+            assert [r["id"] for r in got.collect()] == [12]
+        finally:
+            chunks.unpersist()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
