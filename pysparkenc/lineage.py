@@ -308,6 +308,23 @@ def encode_with_lineage(
     # partition (tiny), so the single writer is never a bottleneck.
     lin.coalesce(1).write.mode("append").parquet(_lineage_dir(path))
 
+    # single-writer enforcement (same check as delete_rows): two
+    # committers racing _next_run_id to one id interleave their chunk
+    # files under the same run dir and double-commit its partitions —
+    # detect post-commit (committed rows for this run != the rows THIS
+    # call appended) and fail loudly rather than let readers see a
+    # mixed, double-counted run.
+    committed = (
+        read_lineage(spark, path).where(F.col("run_id") == run_id).count()
+    )
+    mine = lin.count()
+    if committed != mine:
+        raise RuntimeError(
+            f"concurrent commit detected on run {run_id}: {committed} "
+            f"lineage rows landed where this writer appended {mine}. "
+            "Stores are single-writer — re-run the encode."
+        )
+
     agg = lin.agg(
         F.count(F.lit(1)).alias("parts"),
         F.sum("n_rows").alias("rows"),

@@ -296,3 +296,17 @@ def test_concurrent_delete_commit_detected(spark, tmp_path, monkeypatch):
     with pytest.raises(RuntimeError, match="concurrent commit"):
         delete_rows(spark, store,
                     spark.createDataFrame([(ids[1],)], "doc_id string"))
+
+
+def test_concurrent_encode_commit_detected(spark, tmp_path, monkeypatch):
+    import pytest
+
+    import pysparkenc.lineage as L
+
+    store = str(tmp_path / "store")
+    df = make_tokens_table(spark, 30, seed=47)
+    encode_with_lineage(df, store, num_partitions=1)
+    monkeypatch.setattr(L, "_next_run_id", lambda s, p: 2)
+    encode_with_lineage(df, store, num_partitions=1, resume=False)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        encode_with_lineage(df, store, num_partitions=1, resume=False)
