@@ -20,6 +20,8 @@ Subcommands:
     delete  equality delete: retract rows matching a parquet file of
             key tuples — no chunk rewrite (Iceberg v2-style, sequenced
             so later re-appends of the same key survive)
+    upsert  MERGE-lite replace-by-key: delete the data file's keys,
+            append its rows (existing keys update, new keys insert)
     verify  decode + anti-join against the original; exit 1 on mismatch
     audit   distributed integrity fsck of a chunk store (CRC32 + kernel
             decode + footer-stat containment per chunk); exit 1 on corrupt
@@ -48,6 +50,7 @@ from .lineage import (
     read_committed_chunks,
     read_store,
     snapshots,
+    upsert_rows,
 )
 
 
@@ -149,6 +152,20 @@ def cmd_delete(args: argparse.Namespace) -> int:
     print(json.dumps(
         delete_rows(spark, args.input, keys, key_cols=key_cols)
     ))
+    return 0
+
+
+def cmd_upsert(args: argparse.Namespace) -> int:
+    spark = _session("pysparkenc-upsert")
+    df = spark.read.parquet(args.data)
+    key_cols = tuple(
+        c.strip() for c in args.key_cols.split(",") if c.strip()
+    )
+    print(json.dumps(upsert_rows(
+        spark, args.input, df, key_cols=key_cols,
+        partition_by=_parse_partition_by(args.partition_by),
+        num_partitions=args.num_partitions,
+    )))
     return 0
 
 
@@ -325,6 +342,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated equality-delete key columns "
                          "(must exist in both the keys file and the store)")
     dl.set_defaults(fn=cmd_delete)
+
+    up = sub.add_parser("upsert")
+    up.add_argument("--input", required=True, help="encoded store path")
+    up.add_argument("--data", required=True,
+                    help="parquet path of replacement rows")
+    up.add_argument("--key-cols", default="doc_id")
+    up.add_argument("--partition-by", default=None)
+    up.add_argument("--num-partitions", type=int, default=None)
+    up.set_defaults(fn=cmd_upsert)
 
     ver = sub.add_parser("verify")
     ver.add_argument("--original", required=True)

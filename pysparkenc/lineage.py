@@ -410,6 +410,47 @@ def delete_rows(
     return {"run_id": run_id, "keys": int(n), "wall_sec": time.time() - t0}
 
 
+def upsert_rows(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    *,
+    key_cols: tuple[str, ...] = ("doc_id",),
+    partition_by: tuple[str, ...] | None = None,
+    num_partitions: int | None = None,
+    **encode_kw,
+) -> dict:
+    """MERGE-lite: replace-by-key. Retracts every current row whose
+    ``key_cols`` tuple appears in ``df`` (:func:`delete_rows`, run r),
+    then appends ``df`` as a fresh run (r+1). Delete sequencing makes
+    the composition correct: the delete applies only to rows older than
+    r, the new rows are newer, so readers at latest see exactly one row
+    per key — the new one. Existing keys update, new keys insert.
+
+    NOT single-snapshot atomic (Iceberg's MERGE is; this is two
+    commits): a reader between the two commits sees the keys absent —
+    never duplicated — and a crash between them converges on retry
+    (the re-run's delete is a no-op for already-retracted keys, the
+    append completes the upsert). Time travel exposes both boundaries.
+
+    The append runs with ``resume=False`` by construction: resume's
+    anti-join on completed part_ids is for re-running ONE interrupted
+    job, and would silently skip an upsert's partitions whenever earlier
+    runs already committed those part ids."""
+    d = delete_rows(spark, path, df.select(*key_cols), key_cols=key_cols)
+    m = encode_with_lineage(
+        df, path, partition_by=partition_by, num_partitions=num_partitions,
+        resume=False, **encode_kw,
+    )
+    return {
+        "delete_run": d["run_id"],
+        "append_run": m["run_id"],
+        "keys": d["keys"],
+        "rows": m["rows"],
+        "wall_sec": d["wall_sec"] + m["wall_sec"],
+    }
+
+
 def read_delete_sets(
     spark: SparkSession, path: str, *, as_of_run: int | None = None
 ) -> list[tuple[int, DataFrame]]:

@@ -310,3 +310,44 @@ def test_concurrent_encode_commit_detected(spark, tmp_path, monkeypatch):
     encode_with_lineage(df, store, num_partitions=1, resume=False)
     with pytest.raises(RuntimeError, match="concurrent commit"):
         encode_with_lineage(df, store, num_partitions=1, resume=False)
+
+
+def test_upsert_updates_and_inserts(spark, tmp_path):
+    from pyspark.sql import functions as F2
+
+    from pysparkenc.lineage import upsert_rows
+
+    store = str(tmp_path / "store")
+    df = make_tokens_table(spark, 50, seed=53)
+    encode_with_lineage(df, store, partition_by=("source", "doc_id"),
+                        num_partitions=2)
+    ids = _ids(df)
+    # update 5 existing docs (double their tokens) + insert 3 new docs
+    upd = (
+        df.where(F2.col("doc_id").isin(ids[:5]))
+        .withColumn("tokens", F2.concat("tokens", "tokens"))
+        .withColumn("n_tok", (F2.col("n_tok") * 2).cast("int"))
+    )
+    new = make_tokens_table(spark, 3, seed=99).withColumn(
+        "doc_id", F2.concat(F2.lit("new-"), "doc_id")
+    )
+    out = upsert_rows(spark, store, upd.unionByName(new),
+                      partition_by=("source", "doc_id"), num_partitions=2)
+    assert out["keys"] == 8 and out["rows"] == 8
+
+    got = read_store(spark, store)
+    assert got.count() == 53  # 50 originals - 0 lost + 3 inserts
+    by_id = {r["doc_id"]: r["n_tok"] for r in got.collect()}
+    orig = {r["doc_id"]: r["n_tok"] for r in df.collect()}
+    for k in ids[:5]:
+        assert by_id[k] == orig[k] * 2        # updated in place
+    for k in ids[5:]:
+        assert by_id[k] == orig[k]            # untouched rows intact
+    assert sum(1 for k in by_id if k.startswith("new-")) == 3
+
+    # exactly one row per key (replace, never duplicate)
+    assert got.groupBy("doc_id").count().where("count > 1").count() == 0
+
+    # time travel: before the upsert's delete run, the old values
+    pre = read_store(spark, store, as_of_run=out["delete_run"] - 1)
+    assert {r["doc_id"]: r["n_tok"] for r in pre.collect()} == orig
