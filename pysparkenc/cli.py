@@ -199,9 +199,26 @@ def cmd_history(args: argparse.Namespace) -> int:
 def cmd_stats(args: argparse.Namespace) -> int:
     """Per-column store statistics from footer metadata only — codec
     mix, sizes/ratio, and (for int columns) exact count/sum/min/max via
-    the aggregate pushdown; the payload is never decoded."""
+    the aggregate pushdown; the payload is never decoded.
+
+    On a store with committed-but-unmaterialized equality deletes the
+    figures are PHYSICAL (pre-delete): metadata cannot know which rows
+    an anti-join would drop. The report says so explicitly (a
+    ``pending_deletes`` header line) instead of letting a takedown-era
+    store silently report pre-takedown counts; compaction re-aligns
+    metadata with the visible table."""
+    from .lineage import read_delete_sets
+
     spark = _session("pysparkenc-stats")
     chunks = read_committed_chunks(spark, args.input)
+    dels = read_delete_sets(spark, args.input)
+    if dels:
+        print(json.dumps({
+            "pending_deletes": len(dels),
+            "pending_delete_keys": sum(k.count() for _, k in dels),
+            "note": "figures below are physical (pre-delete); run "
+                    "compact to materialize",
+        }))
     meta = chunks.groupBy("col").agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("n_values").alias("n_values"),

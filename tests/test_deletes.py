@@ -351,3 +351,19 @@ def test_upsert_updates_and_inserts(spark, tmp_path):
     # time travel: before the upsert's delete run, the old values
     pre = read_store(spark, store, as_of_run=out["delete_run"] - 1)
     assert {r["doc_id"]: r["n_tok"] for r in pre.collect()} == orig
+
+
+def test_stats_flags_pending_deletes(spark, tmp_path, capsys):
+    import json
+
+    from pysparkenc.cli import main
+
+    store = str(tmp_path / "store")
+    df = make_tokens_table(spark, 30, seed=59)
+    encode_with_lineage(df, store, num_partitions=1)
+    delete_rows(spark, store, df.limit(4).select("doc_id"))
+    assert main(["stats", "--input", store]) == 0
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    assert lines[0]["pending_deletes"] == 1
+    assert lines[0]["pending_delete_keys"] == 4
