@@ -1789,6 +1789,132 @@ def decode_table_where_isin(
     return out.where(_isin_physical(schema[col], values))
 
 
+_DISTINCT_FAST_LOGICALS = (
+    "int32", "int64", "float32", "float64", "string", "binary",
+    "date_day", "timestamp_us", "timestamp_ntz_us",
+)
+
+
+def distinct_values(
+    chunks_df: DataFrame,
+    col: str,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """Exact ``SELECT DISTINCT col`` over an encoded store, answered
+    from DICTIONARY PAGES wherever chunks dict-encoded: each dict page
+    already IS its chunk's distinct set, so the fast path reads only
+    footer metadata + the (tiny) ``aux`` dict payloads — the code
+    stream ``data`` is never touched. Chunks under any other codec fall
+    back to a one-column projected decode of just their chunk groups,
+    and the two sides union-distinct. On a clustered store (the layout
+    ``encode_table(partition_by=...)`` produces) low-cardinality
+    columns dict-encode everywhere and the whole answer is
+    metadata-scale — the operator a vocabulary/enum audit over 100 TB
+    wants. The reference keeps dict pages decode-internal
+    (``layout/page-dict.go``); surfacing them as a query structure has
+    no analogue there.
+
+    NULL is a distinct value (SQL semantics): the fallback decode
+    carries nulls natively, and the fast path re-adds NULL when any
+    dict chunk records a positive ``null_count`` (dict pages hold only
+    present values). Flat scalar columns only — nested and interval
+    columns raise."""
+    if schema is None:
+        schema = output_schema_of_chunks(chunks_df)
+    field = schema[col]
+    logical = _logical_of(field)
+    if isinstance(
+        field.dataType,
+        (ArrayType, MapType, StructType, DayTimeIntervalType,
+         YearMonthIntervalType),
+    ):
+        raise TypeError(
+            f"distinct_values supports flat scalar columns; {col} is "
+            f"{field.dataType}"
+        )
+    out_schema = StructType([StructField(col, field.dataType, True)])
+    meta = chunks_df.where(F.col("col") == col)
+    fast_ok = (
+        logical in _DISTINCT_FAST_LOGICALS
+        or (logical.startswith("decimal(")
+            and _decimal_params(logical)[0] <= 18)
+    )
+
+    if fast_ok:
+        is_dict = F.col("codec") == "dict_rle"
+
+        def dict_uniques(
+            batches: Iterable[pa.RecordBatch],
+        ) -> Iterator[pa.RecordBatch]:
+            from . import compress as blockcomp
+            from .kernels.dictenc import (
+                dict_page_decode_bytes,
+                dict_page_decode_numeric,
+            )
+
+            for b in batches:
+                cols = {
+                    n: b.column(i) for i, n in enumerate(b.schema.names)
+                }
+                arrs: list[pa.Array] = []
+                for i in range(b.num_rows):
+                    aux = bytes(cols["aux"][i].as_py() or b"")
+                    extra = json.loads(cols["extra"][i].as_py() or "{}")
+                    if comp := extra.get("comp"):
+                        aux = blockcomp.decompress(comp, aux)
+                    nu = int(cols["n_unique"][i].as_py())
+                    dtype = cols["dtype"][i].as_py()
+                    if dtype in ("int32", "int64", "float32", "float64"):
+                        u = dict_page_decode_numeric(aux, dtype, nu)
+                        if logical.startswith("decimal("):
+                            arr = _int64_to_decimal(
+                                u.astype(np.int64), logical, None
+                            )
+                        else:
+                            arr = pa.array(u).cast(_arrow_type_of(logical))
+                    else:
+                        d_off, d_data = dict_page_decode_bytes(aux, nu)
+                        lb = pa.LargeBinaryArray.from_buffers(
+                            pa.large_binary(), nu,
+                            [None,
+                             pa.py_buffer(
+                                 np.ascontiguousarray(d_off, np.int64)),
+                             pa.py_buffer(d_data)],
+                        )
+                        arr = lb.cast(_arrow_type_of(logical))
+                    arrs.append(arr)
+                if arrs:
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.concat_arrays(arrs)], names=[col]
+                    )
+
+        dict_vals = meta.where(is_dict).select(
+            "dtype", "n_unique", "null_count", "extra", "aux"
+        ).mapInArrow(dict_uniques, out_schema)
+        # dict pages hold present values only — NULL re-enters from the
+        # null_count footer stat (SQL DISTINCT includes NULL)
+        null_row = (
+            meta.where(is_dict & (F.col("null_count") > 0))
+            .limit(1)
+            .select(F.lit(None).cast(field.dataType).alias(col))
+        )
+        rest_groups = (
+            meta.where(~is_dict).select("part_id", "chunk_id").distinct()
+        )
+        rest_chunks = chunks_df.join(
+            rest_groups, ["part_id", "chunk_id"], "left_semi"
+        )
+        rest_vals = decode_table(rest_chunks, StructType([field]))
+        return (
+            dict_vals.unionByName(rest_vals)
+            .unionByName(null_row)
+            .distinct()
+        )
+    # unsupported fast-path logical (wide decimal FLBA dicts, bool):
+    # plain projected decode — still column-pruned to one column
+    return decode_table(chunks_df, StructType([field])).distinct()
+
+
 def decode_table_where(
     chunks_df: DataFrame,
     schema: StructType | None,
