@@ -253,6 +253,20 @@ def cmd_stats(args: argparse.Namespace) -> int:
             if a["sum_val"] is not None:
                 row["sum"] = a["sum_val"]
         print(json.dumps(row))
+    if args.distinct:
+        from .engine import distinct_values
+
+        dv = distinct_values(chunks, args.distinct)
+        ndv = dv.count()
+        sample = sorted(
+            "NULL" if r[0] is None else str(r[0])
+            for r in dv.limit(25).collect()
+        )
+        print(json.dumps({
+            "distinct_col": args.distinct,
+            "ndv": int(ndv),
+            "sample": sample,
+        }))
     return 0
 
 
@@ -343,6 +357,10 @@ def main(argv: list[str] | None = None) -> int:
     stt.add_argument("--input", required=True,
                      help="encoded store path; one JSON row per column "
                           "from footer metadata only (no payload decode)")
+    stt.add_argument("--distinct", default=None, metavar="COL",
+                     help="also report COL's exact distinct count + a "
+                          "25-value sample, answered from dictionary "
+                          "pages wherever chunks dict-encode")
     stt.set_defaults(fn=cmd_stats)
 
     his = sub.add_parser("history")

@@ -224,3 +224,21 @@ def test_decode_where_bad_predicate(spark, tmp_path, capsys):
         "decode", "--input", enc, "--output", str(tmp_path / "o"),
         "--where", "n_tok between 5",
     ]) == 2
+
+
+def test_stats_distinct(spark, tmp_path, capsys):
+    src = str(tmp_path / "src")
+    enc = str(tmp_path / "enc")
+    make_tokens_table(spark, 120, seed=21).write.parquet(src)
+    assert main(["encode", "--input", src, "--output", enc,
+                 "--partition-by", "source,doc_id"]) == 0
+    capsys.readouterr()
+    assert main(["stats", "--input", enc, "--distinct", "source"]) == 0
+    rows = [json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    rep = rows[-1]
+    want = {r["source"] for r in
+            spark.read.parquet(src).select("source").distinct().collect()}
+    assert rep["distinct_col"] == "source"
+    assert rep["ndv"] == len(want)
+    assert set(rep["sample"]) == {str(v) for v in want}
