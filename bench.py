@@ -912,6 +912,65 @@ def run_delete_bench(n_rows: int, cpus: int, trials: int = 5) -> dict:
         spark.stop()
 
 
+def run_distinct_bench(n_rows: int, cpus: int, trials: int = 5) -> dict:
+    """What the dict-page DISTINCT pushdown is worth: the same exact
+    ``SELECT DISTINCT source`` over an encoded 2M-row store answered
+    (a) by ``distinct_values`` — footer metadata + aux dict pages, code
+    stream never read — and (b) by the naive route, full one-column
+    decode then distinct. Interleaved best-of-N legs."""
+    import shutil
+    import tempfile
+
+    from pysparkenc.engine import decode_table, distinct_values, encode_table
+    from pysparkenc.synth import make_tokens_table
+
+    from pyspark.sql import functions as F
+
+    spark = make_spark(min(cpus, 16))
+    tmpdir = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    tmp = tempfile.mkdtemp(prefix="pysparkenc-dv-", dir=tmpdir)
+    try:
+        # the representative shape: a FAT low-cardinality string column
+        # (64-byte category labels, ndv 2000) — the enum/vocab audit
+        # case. A 4-byte column is overhead-bound either way; a fat one
+        # makes the decode-vs-dict-page asymmetry visible.
+        df = spark.range(n_rows).select(
+            F.col("id"),
+            F.concat(
+                F.lit("category-" + "x" * 49),
+                F.lpad((F.col("id") % 2000).cast("string"), 6, "0"),
+            ).alias("category"),
+        )
+        encode_table(df, num_partitions=32).write.parquet(f"{tmp}/chunks")
+        chunks = spark.read.parquet(f"{tmp}/chunks")
+        force(chunks.select("part_id"))  # warm footer pages
+        from pyspark.sql.types import StructType
+
+        sub = StructType([df.schema["category"]])
+        w_fast = w_full = 1e9
+        n_fast = n_full = 0
+        for _ in range(trials):
+            t0 = time.monotonic()
+            n_fast = distinct_values(chunks, "category", df.schema).count()
+            w_fast = min(w_fast, time.monotonic() - t0)
+            t0 = time.monotonic()
+            n_full = decode_table(chunks, sub).distinct().count()
+            w_full = min(w_full, time.monotonic() - t0)
+        assert n_fast == n_full
+        return {
+            "metric": "dict-page DISTINCT pushdown vs full-column decode",
+            "rows": n_rows,
+            "ndv": int(n_fast),
+            "distinct_values_sec": round(w_fast, 3),
+            "full_decode_distinct_sec": round(w_full, 3),
+            "speedup": round(w_full / max(w_fast, 1e-9), 2),
+            "cpus": min(cpus, 16),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
@@ -919,6 +978,7 @@ def main() -> None:
     ap.add_argument("--skew", action="store_true")
     ap.add_argument("--pack-skew", action="store_true")
     ap.add_argument("--deletes", action="store_true")
+    ap.add_argument("--distinct-bench", action="store_true")
     ap.add_argument("--scaling-rounds", type=int, default=3)
     ap.add_argument("--rows", type=int, default=200_000)
     ap.add_argument("--worker-cpus", type=int, default=None)
@@ -939,6 +999,8 @@ def main() -> None:
         out = run_pack_skew(args.rows, args.cpus)
     elif args.deletes:
         out = run_delete_bench(args.rows, args.cpus)
+    elif args.distinct_bench:
+        out = run_distinct_bench(args.rows, args.cpus)
     else:
         out = run_bench(args.sf_dir, args.cpus)
     print(json.dumps(out))
