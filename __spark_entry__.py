@@ -1155,6 +1155,15 @@ def q_asset_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fast_tmp() -> str | None:
+    """tmpfs for the contract queries' throwaway stores when available:
+    the sandbox's virtual disk is throttled and would bill its scheduler
+    to the query timings (same rule as bench.py's store placement)."""
+    import os as _os
+
+    return "/dev/shm" if _os.path.isdir("/dev/shm") else None
+
+
 def q_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``pysparkenc`` Spark data source end-to-end: write documents
     into a chunk store via ``df.write.format("pysparkenc")``, read it
@@ -1171,7 +1180,7 @@ def q_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import atexit
     import shutil
 
-    _ds_root = tempfile.mkdtemp(prefix="pysparkenc_ds_")
+    _ds_root = tempfile.mkdtemp(prefix="pysparkenc_ds_", dir=_fast_tmp())
     atexit.register(shutil.rmtree, _ds_root, ignore_errors=True)
     store = _ds_root + "/store"
     docs = _read(spark, sf_dir, "documents")
@@ -1208,7 +1217,7 @@ def q_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import atexit
     import shutil
 
-    root = tempfile.mkdtemp(prefix="pysparkenc_del_")
+    root = tempfile.mkdtemp(prefix="pysparkenc_del_", dir=_fast_tmp())
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     store = root + "/store"
     encode_with_lineage(
@@ -1263,7 +1272,7 @@ def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = make_tokens_table(spark, 1_000, seed=11)
     df.cache().count()
-    with tempfile.TemporaryDirectory() as tmp:
+    with tempfile.TemporaryDirectory(dir=_fast_tmp()) as tmp:
         path = f"{tmp}/enc"
         m1 = encode_with_lineage(
             df, path, partition_by=("source", "doc_id"), num_partitions=8,
