@@ -921,10 +921,9 @@ def run_distinct_bench(n_rows: int, cpus: int, trials: int = 5) -> dict:
     import shutil
     import tempfile
 
-    from pysparkenc.engine import decode_table, distinct_values, encode_table
-    from pysparkenc.synth import make_tokens_table
-
     from pyspark.sql import functions as F
+
+    from pysparkenc.engine import decode_table, distinct_values, encode_table
 
     spark = make_spark(min(cpus, 16))
     tmpdir = "/dev/shm" if os.path.isdir("/dev/shm") else None

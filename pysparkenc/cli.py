@@ -256,12 +256,24 @@ def cmd_stats(args: argparse.Namespace) -> int:
     if args.distinct:
         from .engine import distinct_values
 
-        dv = distinct_values(chunks, args.distinct)
-        ndv = dv.count()
-        sample = sorted(
-            "NULL" if r[0] is None else str(r[0])
-            for r in dv.limit(25).collect()
-        )
+        try:
+            dv = distinct_values(chunks, args.distinct)
+        except (KeyError, TypeError) as e:
+            # unknown / nested column: JSON error + exit 2, no traceback
+            # (the cmd_decode convention)
+            print(json.dumps({"error": str(e)}), file=sys.stderr)
+            return 2
+        # persist: count + sample must not run the dict-page scan and
+        # the fallback decode twice
+        dv = dv.persist()
+        try:
+            ndv = dv.count()
+            sample = sorted(
+                "NULL" if r[0] is None else str(r[0])
+                for r in dv.limit(25).collect()
+            )
+        finally:
+            dv.unpersist()
         print(json.dumps({
             "distinct_col": args.distinct,
             "ndv": int(ndv),

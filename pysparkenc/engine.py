@@ -1566,6 +1566,26 @@ def _bloom_probe_hashes(svals, nvals):
     return hbytes, hints
 
 
+def _dict_page_values(aux, extra: dict, dtype: str, n_unique: int):
+    """Open one dict page: raw ``aux`` -> optional block decompression
+    (``extra['comp']``) -> decode. Returns a numpy array for numeric
+    dtypes, ``(offsets, data)`` for byte dtypes. THE single aux-opening
+    protocol — shared by the isin probe and :func:`distinct_values` so
+    a future framing change cannot diverge between them."""
+    from . import compress as blockcomp
+    from .kernels.dictenc import (
+        dict_page_decode_bytes,
+        dict_page_decode_numeric,
+    )
+
+    aux = bytes(aux) if aux is not None else b""
+    if comp := extra.get("comp"):
+        aux = blockcomp.decompress(comp, aux)
+    if dtype in ("int32", "int64", "float32", "float64"):
+        return dict_page_decode_numeric(aux, dtype, n_unique)
+    return dict_page_decode_bytes(aux, n_unique)
+
+
 def _chunk_passes_isin(
     codec: str,
     dtype: str,
@@ -1602,9 +1622,6 @@ def _chunk_passes_isin(
     byte probes against string/binary chunks, integer probes against
     int chunks; anything else (floats, decimals, cross-typed probes)
     ignores it rather than risk a false prune."""
-    from . import compress as blockcomp
-    from .kernels.dictenc import dict_page_decode_bytes, dict_page_decode_numeric
-
     if bloom is not None and len(bloom):
         from .kernels.bloom import bloom_check
 
@@ -1619,17 +1636,14 @@ def _chunk_passes_isin(
             return False
 
     if codec == "dict_rle":
-        aux = bytes(aux) if aux is not None else b""
-        if comp := extra.get("comp"):
-            aux = blockcomp.decompress(comp, aux)
         nu = int(n_unique)
         if dtype in ("int32", "int64", "float32", "float64"):
             if fvals is None:
                 return False  # string probe against a numeric dict chunk
-            uniques = dict_page_decode_numeric(aux, dtype, nu)
+            uniques = _dict_page_values(aux, extra, dtype, nu)
             probe_vals = nvals if nvals is not None else fvals
             return bool(np.isin(probe_vals, uniques).any())
-        d_off, d_data = dict_page_decode_bytes(aux, nu)
+        d_off, d_data = _dict_page_values(aux, extra, dtype, nu)
         raw = bytes(d_data)
         return any(
             raw[d_off[j]: d_off[j + 1]] in svals for j in range(nu)
@@ -1846,34 +1860,27 @@ def distinct_values(
         def dict_uniques(
             batches: Iterable[pa.RecordBatch],
         ) -> Iterator[pa.RecordBatch]:
-            from . import compress as blockcomp
-            from .kernels.dictenc import (
-                dict_page_decode_bytes,
-                dict_page_decode_numeric,
-            )
-
             for b in batches:
                 cols = {
                     n: b.column(i) for i, n in enumerate(b.schema.names)
                 }
                 arrs: list[pa.Array] = []
                 for i in range(b.num_rows):
-                    aux = bytes(cols["aux"][i].as_py() or b"")
                     extra = json.loads(cols["extra"][i].as_py() or "{}")
-                    if comp := extra.get("comp"):
-                        aux = blockcomp.decompress(comp, aux)
                     nu = int(cols["n_unique"][i].as_py())
                     dtype = cols["dtype"][i].as_py()
+                    got = _dict_page_values(
+                        cols["aux"][i].as_py(), extra, dtype, nu
+                    )
                     if dtype in ("int32", "int64", "float32", "float64"):
-                        u = dict_page_decode_numeric(aux, dtype, nu)
                         if logical.startswith("decimal("):
                             arr = _int64_to_decimal(
-                                u.astype(np.int64), logical, None
+                                got.astype(np.int64), logical, None
                             )
                         else:
-                            arr = pa.array(u).cast(_arrow_type_of(logical))
+                            arr = pa.array(got).cast(_arrow_type_of(logical))
                     else:
-                        d_off, d_data = dict_page_decode_bytes(aux, nu)
+                        d_off, d_data = got
                         lb = pa.LargeBinaryArray.from_buffers(
                             pa.large_binary(), nu,
                             [None,
@@ -1898,6 +1905,21 @@ def distinct_values(
             .limit(1)
             .select(F.lit(None).cast(field.dataType).alias(col))
         )
+        # schema evolution: chunk groups written BEFORE the column
+        # existed decode as all-null rows (the col_idx-0 anchor rule in
+        # decode_table) — they have no chunk for `col` at all, so they
+        # contribute NULL here exactly as a full decode would
+        evolved_null = (
+            chunks_df.where(F.col("col_idx") == 0)
+            .select("part_id", "chunk_id")
+            .join(
+                meta.select("part_id", "chunk_id").distinct(),
+                ["part_id", "chunk_id"],
+                "left_anti",
+            )
+            .limit(1)
+            .select(F.lit(None).cast(field.dataType).alias(col))
+        )
         rest_groups = (
             meta.where(~is_dict).select("part_id", "chunk_id").distinct()
         )
@@ -1908,6 +1930,7 @@ def distinct_values(
         return (
             dict_vals.unionByName(rest_vals)
             .unionByName(null_row)
+            .unionByName(evolved_null)
             .distinct()
         )
     # unsupported fast-path logical (wide decimal FLBA dicts, bool):

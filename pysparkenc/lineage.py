@@ -436,7 +436,24 @@ def upsert_rows(
     The append runs with ``resume=False`` by construction: resume's
     anti-join on completed part_ids is for re-running ONE interrupted
     job, and would silently skip an upsert's partitions whenever earlier
-    runs already committed those part ids."""
+    runs already committed those part ids.
+
+    ``df`` must hold ONE row per key tuple — the same rule Iceberg's
+    MERGE enforces for multiple source matches. Duplicates would all
+    survive the append (the delete dedups its key list but the append
+    does not), so they are rejected up front rather than silently
+    breaking the one-row-per-key contract."""
+    dup = (
+        df.groupBy(*key_cols).count().where(F.col("count") > 1).limit(1)
+        .collect()
+    )
+    if dup:
+        key = tuple(dup[0][c] for c in key_cols)
+        raise ValueError(
+            f"upsert_rows input has multiple rows for key {key!r}; "
+            "deduplicate (or aggregate) the source to one row per "
+            f"{key_cols} first"
+        )
     d = delete_rows(spark, path, df.select(*key_cols), key_cols=key_cols)
     m = encode_with_lineage(
         df, path, partition_by=partition_by, num_partitions=num_partitions,

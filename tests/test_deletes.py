@@ -367,3 +367,16 @@ def test_stats_flags_pending_deletes(spark, tmp_path, capsys):
              capsys.readouterr().out.strip().splitlines()]
     assert lines[0]["pending_deletes"] == 1
     assert lines[0]["pending_delete_keys"] == 4
+
+
+def test_upsert_rejects_duplicate_keys(spark, tmp_path):
+    import pytest
+
+    from pysparkenc.lineage import upsert_rows
+
+    store = str(tmp_path / "store")
+    df = make_tokens_table(spark, 20, seed=67)
+    encode_with_lineage(df, store, num_partitions=1)
+    dup = df.limit(1).unionByName(df.limit(1))
+    with pytest.raises(ValueError, match="multiple rows"):
+        upsert_rows(spark, store, dup)

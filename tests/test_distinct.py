@@ -104,3 +104,40 @@ def test_distinct_rejects_nested(spark):
     chunks = encode_table(df, num_partitions=1)
     with pytest.raises(TypeError, match="flat scalar"):
         distinct_values(chunks, "arr", df.schema)
+
+
+def test_distinct_schema_evolution_null(spark, tmp_path):
+    """Chunk groups written before the column existed decode as NULL —
+    the fast path must contribute that NULL too (it has no chunk rows
+    for the column in those groups at all)."""
+    from pysparkenc.lineage import encode_with_lineage, read_committed_chunks
+
+    store = str(tmp_path / "store")
+    old = spark.sql("SELECT id FROM range(100)")
+    encode_with_lineage(old, store, num_partitions=1)
+    new = spark.sql(
+        "SELECT id, concat('v', id % 3) AS tag FROM range(100, 200)"
+    )
+    encode_with_lineage(new, store, num_partitions=1, resume=False)
+    chunks = read_committed_chunks(spark, store)
+    got = _vals(distinct_values(chunks, "tag"), "tag")
+    assert got == ["v0", "v1", "v2", None] or got[-1] is None
+    assert None in got and {"v0", "v1", "v2"} <= set(v for v in got if v)
+
+
+def test_stats_distinct_bad_column_exit2(spark, tmp_path, capsys):
+    import json as _json
+
+    from pysparkenc.cli import main
+    from pysparkenc.synth import make_tokens_table
+
+    src = str(tmp_path / "src")
+    enc = str(tmp_path / "enc")
+    make_tokens_table(spark, 50, seed=61).write.parquet(src)
+    assert main(["encode", "--input", src, "--output", enc]) == 0
+    capsys.readouterr()
+    assert main(["stats", "--input", enc, "--distinct", "nope"]) == 2
+    err = capsys.readouterr().err.strip().splitlines()[-1]
+    assert "error" in _json.loads(err)
+    # nested column: tokens is array<int> -> TypeError path
+    assert main(["stats", "--input", enc, "--distinct", "tokens"]) == 2
