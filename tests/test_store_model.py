@@ -1,0 +1,81 @@
+"""Model-based test of the lineage store's table-maintenance surface.
+
+Random interleavings of append / delete / upsert / compact / expire run
+against both the real store and a plain Python dict model of
+"key -> current row"; after every scenario the visible table must equal
+the model exactly. This is the property the whole Iceberg-shaped layer
+promises: whatever the operation history, readers see one current row
+per live key.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pysparkenc.lineage import (
+    compact_store,
+    delete_rows,
+    encode_with_lineage,
+    expire_runs,
+    read_store,
+    upsert_rows,
+)
+
+
+def _mk_rows(spark, items):
+    return spark.createDataFrame(
+        [(k, v) for k, v in items], "k string, v long"
+    )
+
+
+def _run_scenario(spark, store, seed):
+    rng = random.Random(seed)
+    model: dict[str, int] = {}
+    next_id = 0
+
+    def fresh(n):
+        nonlocal next_id
+        out = [f"k{seed}-{next_id + i}" for i in range(n)]
+        next_id += n
+        return out
+
+    # always start with an append so every op has something to act on
+    ops = ["append"] + [
+        rng.choice(["append", "delete", "upsert", "compact", "expire"])
+        for _ in range(rng.randrange(4, 7))
+    ]
+    for op in ops:
+        if op == "append":
+            items = [(k, rng.randrange(1000)) for k in fresh(rng.randrange(3, 9))]
+            encode_with_lineage(_mk_rows(spark, items), store,
+                                num_partitions=2, resume=False)
+            model.update(items)
+        elif op == "delete" and model:
+            victims = rng.sample(sorted(model), min(len(model),
+                                                    rng.randrange(1, 4)))
+            delete_rows(spark, store,
+                        _mk_rows(spark, [(k, 0) for k in victims])
+                        .select("k"), key_cols=("k",))
+            for k in victims:
+                del model[k]
+        elif op == "upsert" and model:
+            upd = rng.sample(sorted(model), min(len(model), 2))
+            items = [(k, rng.randrange(1000)) for k in upd]
+            items += [(k, rng.randrange(1000)) for k in fresh(2)]
+            upsert_rows(spark, store, _mk_rows(spark, items),
+                        key_cols=("k",), num_partitions=1)
+            model.update(items)
+        elif op == "compact" and model:
+            compact_store(spark, store, num_partitions=2)
+        elif op == "expire":
+            expire_runs(spark, store)
+
+    got = {r["k"]: r["v"] for r in read_store(spark, store).collect()}
+    assert got == model, (seed, ops)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_random_op_interleavings_match_model(spark, tmp_path, seed):
+    _run_scenario(spark, str(tmp_path / f"store{seed}"), seed)
