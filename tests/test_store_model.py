@@ -46,34 +46,54 @@ def _run_scenario(spark, store, seed):
         rng.choice(["append", "delete", "upsert", "compact", "expire"])
         for _ in range(rng.randrange(4, 7))
     ]
+    snapshots: list[tuple[int, dict[str, int], bool]] = []
     for op in ops:
         if op == "append":
             items = [(k, rng.randrange(1000)) for k in fresh(rng.randrange(3, 9))]
-            encode_with_lineage(_mk_rows(spark, items), store,
-                                num_partitions=2, resume=False)
+            m = encode_with_lineage(_mk_rows(spark, items), store,
+                                    num_partitions=2, resume=False)
             model.update(items)
+            snapshots.append((m["run_id"], dict(model), False))
         elif op == "delete" and model:
             victims = rng.sample(sorted(model), min(len(model),
                                                     rng.randrange(1, 4)))
-            delete_rows(spark, store,
-                        _mk_rows(spark, [(k, 0) for k in victims])
-                        .select("k"), key_cols=("k",))
+            d = delete_rows(spark, store,
+                            _mk_rows(spark, [(k, 0) for k in victims])
+                            .select("k"), key_cols=("k",))
             for k in victims:
                 del model[k]
+            snapshots.append((d["run_id"], dict(model), False))
         elif op == "upsert" and model:
             upd = rng.sample(sorted(model), min(len(model), 2))
             items = [(k, rng.randrange(1000)) for k in upd]
             items += [(k, rng.randrange(1000)) for k in fresh(2)]
-            upsert_rows(spark, store, _mk_rows(spark, items),
-                        key_cols=("k",), num_partitions=1)
+            u = upsert_rows(spark, store, _mk_rows(spark, items),
+                            key_cols=("k",), num_partitions=1)
             model.update(items)
+            snapshots.append((u["append_run"], dict(model), False))
         elif op == "compact" and model:
-            compact_store(spark, store, num_partitions=2)
+            c = compact_store(spark, store, num_partitions=2)
+            snapshots.append((c["run_id"], dict(model), False))
         elif op == "expire":
             expire_runs(spark, store)
+            # time travel to runs superseded by a compaction stops
+            # working once expire removes their chunk dirs — snapshots
+            # taken BEFORE this point become unverifiable
+            snapshots = [(r, m, True) for r, m, _ in snapshots]
 
     got = {r["k"]: r["v"] for r in read_store(spark, store).collect()}
     assert got == model, (seed, ops)
+
+    # time travel: every commit boundary must reproduce the model as it
+    # was then (skip snapshots taken before an expire pass — their
+    # chunk files may be gone by design)
+    live = [(r, m) for r, m, dead in snapshots if not dead]
+    for run_id, snap in rng.sample(live, min(2, len(live))):
+        at = {
+            r["k"]: r["v"]
+            for r in read_store(spark, store, as_of_run=run_id).collect()
+        }
+        assert at == snap, (seed, ops, run_id)
 
 
 @pytest.mark.parametrize("seed", range(5))
