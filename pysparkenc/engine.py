@@ -1832,7 +1832,14 @@ def distinct_values(
     carries nulls natively, and the fast path re-adds NULL when any
     dict chunk records a positive ``null_count`` (dict pages hold only
     present values). Flat scalar columns only — nested and interval
-    columns raise."""
+    columns raise.
+
+    PHYSICAL-store semantics (same contract as ``aggregate_chunks`` and
+    the stats report): values retracted by committed-but-unmaterialized
+    equality deletes still appear — metadata cannot know which rows an
+    anti-join would drop. For delete-aware DISTINCT use
+    ``read_store(...).select(col).distinct()``; compaction re-aligns
+    the physical store with the visible table."""
     if schema is None:
         schema = output_schema_of_chunks(chunks_df)
     field = schema[col]
