@@ -67,7 +67,7 @@ def _parse_partition_by(s: str | None) -> tuple[str, ...] | None:
 def _parse_where(exprs: list[str]) -> list[tuple]:
     """Parse ``col OP value`` predicate strings for :func:`scan_table`.
 
-    OP is one of ``== in >= <= > < between``; value is JSON (bare words fall
+    OP is one of ``== != in >= <= > < between``; value is JSON (bare words fall
     back to strings, so ``l_returnflag == A`` works without quoting).
     ``in`` takes a JSON list, ``between`` a two-element JSON list.
     """

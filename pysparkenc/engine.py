@@ -2044,6 +2044,7 @@ def scan_table(
 
     - ``(col, "==", v)``     -> dict-page probe + bloom + stats
     - ``(col, "in", [v..])`` -> dict-page probe + bloom + stats
+    - ``(col, "!=", v)``     -> residual-only (no pruning can apply)
     - ``(col, ">=", v)`` / ``(col, "<=", v)`` / ``(col, ">", v)`` /
       ``(col, "<", v)`` / ``(col, "between", (lo, hi))`` -> min/max
       stat range skip (strict ops prune with the inclusive superset)
@@ -2096,6 +2097,11 @@ def scan_table(
             vals = list(v)
             pruned = prune_chunks_isin(pruned, col, vals)
             conds.append(_isin_physical(field, vals))
+        elif op in ("!=", "<>"):
+            # residual-only: an inequality can never prove a whole chunk
+            # absent (any chunk with >1 distinct value survives), so no
+            # pruning pass applies — the filter still runs post-decode
+            conds.append(~(F.col(col) == _physical_bound(field, v)))
         elif op in (">=", "<=", ">", "<", "between"):
             # strict ops prune with the INCLUSIVE bound (a superset —
             # pruning is never a correctness dependency) and apply the

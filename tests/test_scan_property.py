@@ -38,7 +38,11 @@ def store(spark):
 
 def _gen_predicate(rng: random.Random):
     kind = rng.choice(["int_eq", "int_range", "str_eq", "in_list",
-                       "small_le", "str_range", "int_gt", "int_lt"])
+                       "small_le", "str_range", "int_gt", "int_lt",
+                       "small_ne"])
+    if kind == "small_ne":
+        v = rng.randrange(0, 12)
+        return ("v_small", "!=", v), (F.col("v_small") != v)
     if kind == "int_gt":
         v = rng.randrange(0, 1000)
         return ("k_int", ">", v), (F.col("k_int") > v)
