@@ -257,7 +257,15 @@ def cmd_stats(args: argparse.Namespace) -> int:
         from .engine import distinct_values
 
         try:
-            dv = distinct_values(chunks, args.distinct)
+            if args.visible:
+                # visible-table semantics: scan through read_store so
+                # committed equality deletes apply (no dict-page fast
+                # path — correctness over metadata speed)
+                dv = read_store(
+                    spark, args.input, columns=[args.distinct]
+                ).distinct()
+            else:
+                dv = distinct_values(chunks, args.distinct)
         except (KeyError, TypeError) as e:
             # unknown / nested column: JSON error + exit 2, no traceback
             # (the cmd_decode convention)
@@ -372,7 +380,12 @@ def main(argv: list[str] | None = None) -> int:
     stt.add_argument("--distinct", default=None, metavar="COL",
                      help="also report COL's exact distinct count + a "
                           "25-value sample, answered from dictionary "
-                          "pages wherever chunks dict-encode")
+                          "pages wherever chunks dict-encode (physical "
+                          "store: pending deletes still included)")
+    stt.add_argument("--visible", action="store_true",
+                     help="with --distinct: compute over the VISIBLE "
+                          "table (equality deletes applied) via a full "
+                          "scan instead of the dict-page fast path")
     stt.set_defaults(fn=cmd_stats)
 
     his = sub.add_parser("history")

@@ -380,3 +380,26 @@ def test_upsert_rejects_duplicate_keys(spark, tmp_path):
     dup = df.limit(1).unionByName(df.limit(1))
     with pytest.raises(ValueError, match="multiple rows"):
         upsert_rows(spark, store, dup)
+
+
+def test_stats_distinct_visible_vs_physical(spark, tmp_path, capsys):
+    import json
+
+    from pysparkenc.cli import main
+
+    store = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(f"d{i}", f"cat{i % 3}") for i in range(30)], "doc_id string, c string"
+    )
+    encode_with_lineage(df, store, num_partitions=1)
+    # delete every cat2 doc: physically present, visibly gone
+    delete_rows(spark, store,
+                df.where("c = 'cat2'").select("doc_id"))
+    assert main(["stats", "--input", store, "--distinct", "c"]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rows[-1]["ndv"] == 3  # physical: cat2 values still in chunks
+    assert main(["stats", "--input", store, "--distinct", "c",
+                 "--visible"]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rows[-1]["ndv"] == 2  # visible: cat2 retracted
+    assert "cat2" not in rows[-1]["sample"]
