@@ -97,3 +97,20 @@ def test_spark_submit_py_files_encode_verify(spark, tmp_path):
         "verify", "--original", str(src), "--encoded", str(enc),
     )
     assert json.loads(out) == {"rows": 150, "mismatches": 0}
+
+    # the takedown flow through the same launch path: equality-delete
+    # five doc_ids, then decode and confirm they are gone
+    keys = tmp_path / "keys"
+    spark.read.parquet(str(src)).limit(5).select("doc_id") \
+        .write.parquet(str(keys))
+    out = _submit(
+        tmp_path, zpath, entry,
+        "delete", "--input", str(enc), "--keys", str(keys),
+    )
+    assert json.loads(out)["keys"] == 5
+    dec = tmp_path / "decoded"
+    out = _submit(
+        tmp_path, zpath, entry,
+        "decode", "--input", str(enc), "--output", str(dec),
+    )
+    assert json.loads(out) == {"rows": 145}
