@@ -213,11 +213,15 @@ def cmd_stats(args: argparse.Namespace) -> int:
     chunks = read_committed_chunks(spark, args.input)
     dels = read_delete_sets(spark, args.input)
     if dels:
+        note = ("figures below are physical (pre-delete); run "
+                "compact to materialize")
+        if args.distinct and args.visible:
+            note += ("; the --distinct line is the exception — it is "
+                     "visible-table (deletes applied)")
         print(json.dumps({
             "pending_deletes": len(dels),
             "pending_delete_keys": sum(k.count() for _, k in dels),
-            "note": "figures below are physical (pre-delete); run "
-                    "compact to materialize",
+            "note": note,
         }))
     meta = chunks.groupBy("col").agg(
         F.count(F.lit(1)).alias("n_chunks"),
@@ -254,13 +258,22 @@ def cmd_stats(args: argparse.Namespace) -> int:
                 row["sum"] = a["sum_val"]
         print(json.dumps(row))
     if args.distinct:
-        from .engine import distinct_values
+        from .engine import (
+            distinct_values,
+            output_schema_of_chunks,
+            require_flat_scalar,
+        )
 
         try:
             if args.visible:
                 # visible-table semantics: scan through read_store so
                 # committed equality deletes apply (no dict-page fast
-                # path — correctness over metadata speed)
+                # path — correctness over metadata speed). Same column
+                # validation as the physical mode, so both reject
+                # unknown/nested columns identically (exit 2).
+                require_flat_scalar(
+                    output_schema_of_chunks(chunks), args.distinct
+                )
                 dv = read_store(
                     spark, args.input, columns=[args.distinct]
                 ).distinct()
@@ -435,6 +448,8 @@ def main(argv: list[str] | None = None) -> int:
     cmp_.set_defaults(fn=cmd_compact)
 
     args = ap.parse_args(argv)
+    if getattr(args, "visible", False) and not getattr(args, "distinct", None):
+        ap.error("--visible requires --distinct")
     return args.fn(args)
 
 

@@ -1803,6 +1803,23 @@ def decode_table_where_isin(
     return out.where(_isin_physical(schema[col], values))
 
 
+def require_flat_scalar(schema: StructType, col: str):
+    """Return ``schema[col]`` (KeyError if absent), rejecting nested and
+    interval columns with TypeError — the validation contract shared by
+    :func:`distinct_values` and the CLI's ``--distinct`` modes."""
+    field = schema[col]  # KeyError on unknown column
+    if isinstance(
+        field.dataType,
+        (ArrayType, MapType, StructType, DayTimeIntervalType,
+         YearMonthIntervalType),
+    ):
+        raise TypeError(
+            f"distinct over flat scalar columns only; {col} is "
+            f"{field.dataType}"
+        )
+    return field
+
+
 _DISTINCT_FAST_LOGICALS = (
     "int32", "int64", "float32", "float64", "string", "binary",
     "date_day", "timestamp_us", "timestamp_ntz_us",
@@ -1842,17 +1859,8 @@ def distinct_values(
     the physical store with the visible table."""
     if schema is None:
         schema = output_schema_of_chunks(chunks_df)
-    field = schema[col]
+    field = require_flat_scalar(schema, col)
     logical = _logical_of(field)
-    if isinstance(
-        field.dataType,
-        (ArrayType, MapType, StructType, DayTimeIntervalType,
-         YearMonthIntervalType),
-    ):
-        raise TypeError(
-            f"distinct_values supports flat scalar columns; {col} is "
-            f"{field.dataType}"
-        )
     out_schema = StructType([StructField(col, field.dataType, True)])
     meta = chunks_df.where(F.col("col") == col)
     fast_ok = (

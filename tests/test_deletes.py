@@ -403,3 +403,27 @@ def test_stats_distinct_visible_vs_physical(spark, tmp_path, capsys):
     rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert rows[-1]["ndv"] == 2  # visible: cat2 retracted
     assert "cat2" not in rows[-1]["sample"]
+
+
+def test_stats_visible_flag_contract(spark, tmp_path, capsys):
+    import json
+
+    import pytest
+
+    from pysparkenc.cli import main
+    from pysparkenc.synth import make_tokens_table
+
+    store = str(tmp_path / "store")
+    make_tokens_table(spark, 20, seed=71).write.parquet(str(tmp_path / "s"))
+    assert main(["encode", "--input", str(tmp_path / "s"),
+                 "--output", store]) == 0
+    capsys.readouterr()
+    # --visible without --distinct: argparse error (exit 2 via SystemExit)
+    with pytest.raises(SystemExit) as e:
+        main(["stats", "--input", store, "--visible"])
+    assert e.value.code == 2
+    # visible mode rejects nested columns with the same JSON contract
+    assert main(["stats", "--input", store, "--distinct", "tokens",
+                 "--visible"]) == 2
+    err = capsys.readouterr().err.strip().splitlines()[-1]
+    assert "error" in json.loads(err)
