@@ -211,6 +211,9 @@ def cmd_stats(args: argparse.Namespace) -> int:
 
     spark = _session("pysparkenc-stats")
     chunks = read_committed_chunks(spark, args.input)
+    from .engine import count_rows
+
+    print(json.dumps({"total_rows": count_rows(chunks)}))
     dels = read_delete_sets(spark, args.input)
     if dels:
         note = ("figures below are physical (pre-delete); run "

@@ -1803,6 +1803,22 @@ def decode_table_where_isin(
     return out.where(_isin_physical(schema[col], values))
 
 
+def count_rows(chunks_df: DataFrame) -> int:
+    """Metadata-only ``COUNT(*)``: every column of a chunk group spans
+    the same rows, so the table's row count is the sum over groups of
+    the group's row count (max ``n_rows`` across its chunk rows — value
+    chunks of nullable columns record the full slot count). One tiny
+    footer aggregation; no payload is decoded. PHYSICAL-store semantics
+    (pre-delete), like :func:`aggregate_chunks`."""
+    r = (
+        chunks_df.groupBy("part_id", "chunk_id")
+        .agg(F.max("n_rows").alias("g"))
+        .agg(F.sum("g"))
+        .collect()[0][0]
+    )
+    return int(r or 0)
+
+
 def require_flat_scalar(schema: StructType, col: str):
     """Return ``schema[col]`` (KeyError if absent), rejecting nested and
     interval columns with TypeError — the validation contract shared by

@@ -126,8 +126,10 @@ def test_stats_cli(spark, tmp_path, capsys):
     assert main(["encode", "--input", src, "--output", enc]) == 0
     capsys.readouterr()
     assert main(["stats", "--input", enc]) == 0
-    rows = {r["col"]: r for r in
-            (json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines())}
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    assert lines[0] == {"total_rows": 180}  # metadata-only COUNT(*)
+    rows = {r["col"]: r for r in lines if "col" in r}
     nt = rows["n_tok"]
     assert nt["n_values"] == 180
     df = spark.read.parquet(src)

@@ -365,8 +365,9 @@ def test_stats_flags_pending_deletes(spark, tmp_path, capsys):
     assert main(["stats", "--input", store]) == 0
     lines = [json.loads(ln) for ln in
              capsys.readouterr().out.strip().splitlines()]
-    assert lines[0]["pending_deletes"] == 1
-    assert lines[0]["pending_delete_keys"] == 4
+    hdr = next(l for l in lines if "pending_deletes" in l)
+    assert hdr["pending_deletes"] == 1
+    assert hdr["pending_delete_keys"] == 4
 
 
 def test_upsert_rejects_duplicate_keys(spark, tmp_path):
