@@ -1221,7 +1221,7 @@ def q_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     store = root + "/store"
     encode_with_lineage(
-        docs, store, partition_by=("source", "doc_id"), num_partitions=8
+        docs, store, partition_by=("source", "doc_id"), num_partitions=4
     )
     victims = docs.where(
         F.pmod(
