@@ -319,10 +319,39 @@ def encode_with_lineage(
     )
     mine = lin.count()
     if committed != mine:
+        # QUARANTINE the poisoned run before failing: both writers'
+        # chunk files interleave under the same run dir, so its done
+        # rows describe a mixed, double-counted run no retry can repair
+        # (re-running allocates a fresh id; the collided one stays
+        # visible forever). Supersede every committed (run, part) of the
+        # collided run — the same marker mechanism compaction uses —
+        # so readers stop selecting its chunk groups and expire_runs can
+        # reclaim the directory. batch_id = the collided run itself:
+        # time travel to any snapshot at/after the collision sees the
+        # quarantine; earlier snapshots never saw the run at all. Both
+        # racing writers may append markers — duplicates are harmless
+        # (the read path distincts them).
+        parts = (
+            read_lineage(spark, path)
+            .where((F.col("run_id") == run_id) & (F.col("status") == "done"))
+            .select("part_id").distinct().collect()
+        )
+        markers = spark.createDataFrame(
+            [
+                (int(run_id), int(run_id), int(p["part_id"]),
+                 0, 0, 0, 0, 0, float(wall), "superseded")
+                for p in parts
+            ],
+            LINEAGE_SCHEMA,
+        )
+        markers.coalesce(1).write.mode("append").parquet(_lineage_dir(path))
         raise RuntimeError(
             f"concurrent commit detected on run {run_id}: {committed} "
             f"lineage rows landed where this writer appended {mine}. "
-            "Stores are single-writer — re-run the encode."
+            f"Run {run_id} has been quarantined (all its partitions "
+            "superseded — readers no longer see it; expire_runs reclaims "
+            "its files). Stores are single-writer — re-run the encode, "
+            "which will commit under a fresh run id."
         )
 
     agg = lin.agg(
@@ -374,6 +403,32 @@ def delete_rows(
     :func:`expire_runs` then removes the key files.
     """
     t0 = time.time()
+    # Eager driver-side key validation (mirrors encode_table's interval
+    # check): a key column present in keys_df but absent from the store
+    # would commit cleanly and then poison EVERY subsequent read — the
+    # delete anti-join fails resolving `__dr.<col>` and there is no
+    # supported undo. Resolve the store schema from chunk metadata
+    # (O(columns) collect) and refuse up front. An empty store (no
+    # committed data runs yet) has no schema to check against — the
+    # delete is legal (it applies to nothing) and later appends define
+    # the schema, so validation is skipped there.
+    from .engine import output_schema_of_chunks
+
+    try:
+        committed = read_committed_chunks(spark, path)
+        has_data = bool(committed.limit(1).count())
+    except Exception:
+        has_data = False
+    if has_data:
+        store_cols = {f.name for f in output_schema_of_chunks(committed)}
+        missing = [c for c in key_cols if c not in store_cols]
+        if missing:
+            raise ValueError(
+                f"delete key column(s) {missing} do not exist in the "
+                f"store at {path} (columns: {sorted(store_cols)}); a "
+                "committed delete on an unknown column would break every "
+                "subsequent read of the store"
+            )
     run_id = _next_run_id(spark, path)
     keys = keys_df.select(*key_cols).distinct()
     # overwrite, not append: a retry after a crashed attempt reuses the
@@ -517,7 +572,12 @@ def apply_deletes(
     collect of key data, ever."""
     if not deletes:
         return rows
-    row_run = (F.col(f"__dr.{part_col}") / F.lit(1 << 32)).cast("long")
+    # shiftright, not division: long/long division in Spark yields
+    # DOUBLE, whose 53-bit mantissa loses exactness for run ids past
+    # 2^21 and could mis-sequence a delete against a row's writing run.
+    # The combined id is non-negative by construction, so an arithmetic
+    # right shift is the exact inverse of `run_id * 2^32 + part_id`.
+    row_run = F.shiftright(F.col(f"__dr.{part_col}"), 32)
     by_keyset: dict[tuple[str, ...], DataFrame] = {}
     for del_run, keys in deletes:
         tagged = keys.withColumn("__del_run", F.lit(int(del_run)))

@@ -428,3 +428,78 @@ def test_stats_visible_flag_contract(spark, tmp_path, capsys):
                  "--visible"]) == 2
     err = capsys.readouterr().err.strip().splitlines()[-1]
     assert "error" in json.loads(err)
+
+
+def test_delete_rejects_unknown_key_column(spark, tmp_path):
+    """A mistyped --key-cols must fail BEFORE committing: a committed
+    delete on a column the store doesn't have would make every
+    subsequent read_store/compact_store fail resolving the anti-join
+    (and there is no supported undo)."""
+    import pytest
+
+    store = str(tmp_path / "store")
+    df = make_tokens_table(spark, 30, seed=61)
+    encode_with_lineage(df, store, num_partitions=2)
+    keys = spark.createDataFrame([("x",)], "docid_typo string")
+    with pytest.raises(ValueError, match="docid_typo"):
+        delete_rows(spark, store, keys, key_cols=("docid_typo",))
+    # nothing committed: the store still reads, and no delete run exists
+    assert read_store(spark, store).count() == 30
+    assert read_delete_sets(spark, store) == []
+
+
+def test_quarantined_collision_run_invisible(spark, tmp_path, monkeypatch):
+    """After a detected run-id collision the poisoned run must stop
+    being visible: both writers' chunk files interleave under one run
+    dir, so 're-run the encode' can only repair the store if the mixed
+    run is quarantined (superseded) — otherwise readers double-count
+    forever."""
+    import pytest
+
+    import pysparkenc.lineage as L
+
+    store = str(tmp_path / "store")
+    df = make_tokens_table(spark, 30, seed=47)
+    encode_with_lineage(df, store, num_partitions=1)  # run 1: 30 rows
+    monkeypatch.setattr(L, "_next_run_id", lambda s, p: 2)
+    encode_with_lineage(df, store, num_partitions=1, resume=False)  # run 2
+    with pytest.raises(RuntimeError, match="quarantined"):
+        encode_with_lineage(df, store, num_partitions=1, resume=False)
+    # run 2 is poisoned (three writers' rows interleave under its dir);
+    # the quarantine markers must hide it entirely — only run 1 remains
+    monkeypatch.undo()
+    got = read_store(spark, store)
+    assert got.count() == 30
+    assert got.exceptAll(df).count() == 0 and df.exceptAll(got).count() == 0
+    # the re-run the error message promises now actually repairs: it
+    # commits under a fresh id and is fully visible
+    encode_with_lineage(df, store, num_partitions=1, resume=False)
+    assert read_store(spark, store).count() == 60
+    # and expiry reclaims the quarantined run's files
+    expired = expire_runs(spark, store)
+    assert 2 in expired["expired_runs"]
+
+
+def test_apply_deletes_exact_run_recovery_past_2_53(spark):
+    """Run-id recovery from the combined (run << 32 | part) id must be
+    EXACT: double division loses the low bits past 2^53 and can
+    mis-sequence a delete one run off. part_id = 2^32 - 4 at run 2^25
+    is the adversarial case — the double rounds UP into the next run."""
+    from pysparkenc.lineage import apply_deletes
+
+    run = 1 << 25
+    combined = run * (1 << 32) + ((1 << 32) - 4)
+    rows = spark.createDataFrame(
+        [("victim", combined), ("keeper", combined)],
+        "doc_id string, __part long",
+    ).where(F.col("doc_id") == "victim").unionByName(
+        spark.createDataFrame([("keeper", combined)],
+                              "doc_id string, __part long")
+    )
+    keys = spark.createDataFrame([("victim",)], "doc_id string")
+    # delete committed by run+1: applies to rows written by run (< run+1)
+    got = apply_deletes(rows, [(run + 1, keys)], part_col="__part")
+    assert sorted(r["doc_id"] for r in got.collect()) == ["keeper"]
+    # delete committed by run itself: must NOT apply (same-run rows)
+    got2 = apply_deletes(rows, [(run, keys)], part_col="__part")
+    assert sorted(r["doc_id"] for r in got2.collect()) == ["keeper", "victim"]
