@@ -1165,16 +1165,23 @@ def _fast_tmp() -> str | None:
 
 
 def q_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ``pysparkenc`` Spark data source end-to-end: write documents
-    into a chunk store via ``df.write.format("pysparkenc")``, read it
-    back through ``spark.read.format("pysparkenc")`` with Catalyst
-    filters pushed into the reader (page groups pruned by dict-page and
-    stat probes before decode), and return the filtered projection. The
-    oracle runs the same predicate directly on the parquet table — any
-    wrong pruning or decode corruption breaks the hash gate."""
+    """The ``pysparkenc`` Spark data source end-to-end, BOTH store
+    layouts: (plain) write documents via ``df.write.format
+    ("pysparkenc")``, read back through ``spark.read.format
+    ("pysparkenc")`` with Catalyst filters pushed into the reader (page
+    groups pruned by dict-page and stat probes before decode); and
+    (lineage) encode documents with ``encode_with_lineage``, commit an
+    equality delete of a deterministic md5-keyed ~1/8 of doc_ids, and
+    read THROUGH the data source — which must plan from committed runs
+    and apply the delete sets (the r4 seam: a format() read that listed
+    raw chunk files would resurrect the retracted rows and break the
+    hash gate). The oracle recomputes both branches directly on the
+    parquet table."""
     import tempfile
 
     from pysparkenc.datasource import register
+    from pysparkenc.lineage import delete_rows, encode_with_lineage
+    from pysparkenc.textops import portable_hash60
 
     register(spark)
     import atexit
@@ -1182,13 +1189,37 @@ def q_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _ds_root = tempfile.mkdtemp(prefix="pysparkenc_ds_", dir=_fast_tmp())
     atexit.register(shutil.rmtree, _ds_root, ignore_errors=True)
-    store = _ds_root + "/store"
     docs = _read(spark, sf_dir, "documents")
-    docs.write.format("pysparkenc").mode("overwrite").save(store)
-    back = spark.read.format("pysparkenc").load(store)
-    return back.where(
-        F.col("source").isin("src3", "src7") & (F.col("n_chars") >= 200)
-    ).select("doc_id", "lang", "n_chars")
+
+    plain = _ds_root + "/plain"
+    docs.write.format("pysparkenc").mode("overwrite").save(plain)
+    back_p = (
+        spark.read.format("pysparkenc").load(plain)
+        .where(F.col("source").isin("src3", "src7")
+               & (F.col("n_chars") >= 200))
+        .select("doc_id", "lang", "n_chars")
+        .withColumn("kind", F.lit("plain"))
+    )
+
+    lin = _ds_root + "/lineage"
+    encode_with_lineage(
+        docs, lin, partition_by=("source", "doc_id"), num_partitions=4
+    )
+    victims = docs.where(
+        F.pmod(
+            portable_hash60(F.concat(F.col("doc_id"), F.lit("ds"))),
+            F.lit(8),
+        )
+        == 0
+    ).select("doc_id")
+    delete_rows(spark, lin, victims)
+    back_l = (
+        spark.read.format("pysparkenc").load(lin)
+        .where(F.col("n_chars") >= 400)
+        .select("doc_id", "lang", "n_chars")
+        .withColumn("kind", F.lit("lineage"))
+    )
+    return back_p.unionByName(back_l)
 
 
 def q_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1534,8 +1565,12 @@ FROM t JOIN w USING (doc_id)
         "asset_resize": _asset_resize_sql(),
         "tokens_encode_roundtrip": _tokens_roundtrip_sql(),
         "datasource_scan": (
-            "SELECT doc_id, lang, n_chars FROM documents "
-            "WHERE source IN ('src3', 'src7') AND n_chars >= 200"
+            "SELECT doc_id, lang, n_chars, 'plain' AS kind FROM documents "
+            "WHERE source IN ('src3', 'src7') AND n_chars >= 200 "
+            "UNION ALL "
+            "SELECT doc_id, lang, n_chars, 'lineage' AS kind FROM documents "
+            "WHERE (CAST('0x'||substring(md5(doc_id || 'ds'),1,15) "
+            "AS BIGINT) % 8) <> 0 AND n_chars >= 400"
         ),
         "frame_sample": _frame_sample_sql(),
         "footer_stats_lineitem": footer_union,

@@ -47,6 +47,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 from pyspark.sql.datasource import (
     DataSource,
@@ -74,6 +75,8 @@ from . import engine
 FORMAT_VERSION = 1
 _SCHEMA_FILE = "_pysparkenc_schema.json"
 _CHUNK_DIR = "chunks"
+_LINEAGE_DIR = "lineage"
+_DELETES_DIR = "deletes"
 
 
 def _schema_path(path: str) -> str:
@@ -97,6 +100,184 @@ def read_store_schema(path: str) -> StructType:
     with open(_schema_path(path)) as fh:
         meta = json.load(fh)
     return StructType.fromJson(meta["schema"])
+
+
+# ---------------------------------------------------------------------------
+# lineage-managed stores (written by pysparkenc.lineage): commit-aware plan
+# ---------------------------------------------------------------------------
+
+def _lineage_dir(path: str) -> str:
+    return os.path.join(path, _LINEAGE_DIR)
+
+
+def is_lineage_store(path: str) -> bool:
+    """True when ``path`` is a lineage-managed store (written by
+    :func:`pysparkenc.lineage.encode_with_lineage`): chunk files live
+    under ``chunks/run_id=<r>/`` and visibility is governed by the
+    lineage commit records, not by file listing."""
+    return os.path.isdir(_lineage_dir(path))
+
+
+def _list_parquet(d: str) -> list[str]:
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+
+
+def _lineage_plan(
+    path: str, as_of_run: int | None = None
+) -> tuple[dict[int, tuple[int, ...]], list[tuple[int, str]]]:
+    """Driver-side commit plan for a lineage store, pure pyarrow (no
+    SparkSession): the same visibility rules as
+    :func:`pysparkenc.lineage.read_committed_chunks` +
+    :func:`~pysparkenc.lineage.read_delete_sets`.
+
+    Returns ``(live, deletes)`` where ``live`` maps each run id to its
+    committed, unsuperseded part ids (orphan chunks from a crashed
+    encode are invisible; a compacted-but-unexpired store contributes
+    ONLY the compacted layout — never both) and ``deletes`` lists the
+    visible equality-delete runs as ``(del_run_id, key_dir)``. The scan
+    is one metadata read of the (tiny, one-row-per-partition) lineage
+    records."""
+    files = _list_parquet(_lineage_dir(path))
+    if not files:
+        return {}, []
+    cols = ["run_id", "batch_id", "part_id", "status"]
+    # unified nullable target: per-file nullability varies with the
+    # writer (coalesce(1) commits vs createDataFrame markers)
+    target = pa.schema(
+        [("run_id", pa.int64()), ("batch_id", pa.int64()),
+         ("part_id", pa.int64()), ("status", pa.string())]
+    )
+    tabs = []
+    for f in files:
+        avail = pq.read_schema(f).names
+        t = pq.read_table(f, columns=[c for c in cols if c in avail])
+        if "batch_id" not in t.schema.names:  # pre-batch_id stores
+            t = t.append_column(
+                "batch_id", pa.array([-1] * t.num_rows, pa.int64())
+            )
+        tabs.append(t.select(cols).cast(target))
+    tab = pa.concat_tables(tabs)
+    run = tab.column("run_id").to_numpy()
+    part = tab.column("part_id").to_numpy()
+    batch = tab.column("batch_id").to_numpy(zero_copy_only=False)
+    batch = np.where(np.isnan(batch.astype(np.float64)), -1, batch).astype(
+        np.int64
+    ) if batch.dtype.kind == "f" else batch.astype(np.int64)
+    status = np.asarray(tab.column("status").to_pylist())
+    done = status == "done"
+    sup = status == "superseded"
+    dels = status == "delete"
+    if as_of_run is not None:
+        done &= run <= int(as_of_run)
+        sup &= batch <= int(as_of_run)
+        dels &= run <= int(as_of_run)
+    done_pairs = set(zip(run[done].tolist(), part[done].tolist()))
+    sup_pairs = set(zip(run[sup].tolist(), part[sup].tolist()))
+    live_pairs = done_pairs - sup_pairs
+    live: dict[int, list[int]] = {}
+    for r, p in live_pairs:
+        live.setdefault(int(r), []).append(int(p))
+    # whole-run supersede markers (part_id = -1) retire materialized
+    # delete runs
+    sup_del_runs = {int(r) for r, p in sup_pairs if p == -1}
+    del_runs = sorted({int(r) for r in run[dels].tolist()} - sup_del_runs)
+    deletes = [
+        (r, os.path.join(path, _DELETES_DIR, f"run_id={r}"))
+        for r in del_runs
+    ]
+    return {r: tuple(sorted(ps)) for r, ps in live.items()}, deletes
+
+
+def _recover_store_schema(
+    path: str, live: dict[int, tuple[int, ...]]
+) -> StructType:
+    """Rebuild the logical Spark schema of a lineage store from chunk
+    METADATA (the ``col``/``col_idx``/``logical``/``null_count`` columns
+    of committed chunk files — payload bytes are never read): the
+    driver-side pyarrow twin of :func:`engine.output_schema_of_chunks`,
+    sharing its assembly via :func:`engine.assemble_schema_from_meta`.
+    Reads every committed file's metadata columns so schema evolution
+    (a later run adding a column) is honored."""
+    if not live:
+        raise ValueError(
+            f"lineage store at {path} has no committed data runs — "
+            "nothing to infer a schema from"
+        )
+    agg: dict[str, dict] = {}
+    for r, parts in sorted(live.items()):
+        pset = set(parts)
+        d = os.path.join(_chunk_dir(path), f"run_id={r}")
+        for f in _list_parquet(d):
+            t = pq.read_table(
+                f, columns=["col", "col_idx", "logical", "null_count",
+                            "part_id"]
+            )
+            pid = t.column("part_id").to_numpy()
+            keep = np.isin(pid, np.asarray(sorted(pset), np.int64))
+            if not keep.any():
+                continue
+            t = t.filter(pa.array(keep))
+            col = t.column("col").to_pylist()
+            idx = t.column("col_idx").to_numpy()
+            logical = t.column("logical").to_pylist()
+            nc = t.column("null_count").to_numpy(zero_copy_only=False)
+            for c, i, lg, n in zip(col, idx, logical, nc):
+                base = c[:-4] if c.endswith("#def") else None
+                if "#" in c and not (base is not None and "#" not in base):
+                    continue  # nested reassembly side chunks
+                n = 0 if n is None or (isinstance(n, float) and np.isnan(n)) \
+                    else int(n)
+                cur = agg.get(c)
+                if cur is None:
+                    agg[c] = {"col": c, "col_idx": int(i), "logical": lg,
+                              "nc": n}
+                else:
+                    cur["nc"] = max(cur["nc"], n)
+    meta = sorted(agg.values(), key=lambda m: m["col_idx"])
+    return engine.assemble_schema_from_meta(meta)
+
+
+def _delete_drop_mask(
+    out: pa.Table, keys: pa.Table
+) -> pa.BooleanArray | None:
+    """Boolean mask over ``out``'s rows: True where the row's key tuple
+    appears in ``keys`` (null-safe: a NULL key retracts NULL-keyed
+    rows — the same eqNullSafe semantics as
+    :func:`pysparkenc.lineage.apply_deletes`). Returns None when no row
+    matches. Single-column keys match exactly via ``is_in``;
+    multi-column keys compare a ``\\x1f``-joined string composite with a
+    null sentinel (exact for the string/numeric keys takedown lists
+    carry)."""
+    kcols = keys.schema.names
+    if len(kcols) == 1:
+        c = kcols[0]
+        col = out.column(c)
+        kv = keys.column(c).combine_chunks()
+        has_null_key = kv.null_count > 0
+        vs = kv.drop_null().unique()
+        if col.type != vs.type:
+            vs = vs.cast(col.type)
+        m = pc.fill_null(pc.is_in(col, value_set=vs), False)
+        if has_null_key:
+            m = pc.or_(m, pc.is_null(col))
+    else:
+        def composite(t: pa.Table) -> pa.Array:
+            parts = [
+                pc.fill_null(
+                    pc.cast(t.column(c), pa.string()), "\x00NULL\x00"
+                )
+                for c in kcols
+            ]
+            return pc.binary_join_element_wise(*parts, "\x1f")
+
+        vs = composite(keys).combine_chunks().unique()
+        m = pc.fill_null(pc.is_in(composite(out), value_set=vs), False)
+    m = m.combine_chunks() if isinstance(m, pa.ChunkedArray) else m
+    return m if pc.any(m).as_py() else None
 
 
 # ---------------------------------------------------------------------------
@@ -190,13 +371,70 @@ def _group_passes(meta_rows: dict[str, dict], p: _Pushed) -> bool:
     )
 
 
+def _bin_pack(files: list[str], target: int = 32 << 20) -> list[tuple[str, ...]]:
+    """Bin-pack small files into byte-targeted read partitions: each
+    partition costs a Python worker round-trip, so a store left by many
+    streaming micro-batches (hundreds of tiny chunk files) must not pay
+    it per FILE. Compacted stores with ~target-sized files get one file
+    per partition — full parallelism either way."""
+    groups: list[tuple[str, ...]] = []
+    cur: list[str] = []
+    acc = 0
+    for f in files:
+        try:
+            sz = os.path.getsize(f)
+        except OSError:
+            sz = target
+        if cur and acc + sz > target:
+            groups.append(tuple(cur))
+            cur, acc = [], 0
+        cur.append(f)
+        acc += sz
+    if cur:
+        groups.append(tuple(cur))
+    return groups
+
+
 class ChunkStoreReader(DataSourceReader):
-    def __init__(self, path: str, schema: StructType):
+    def __init__(self, path: str, schema: StructType,
+                 options: dict | None = None):
         if not path:
             raise ValueError("pysparkenc reader needs a path")
         self.path = path
         self.user_schema = schema
         self.pushed: list[_Pushed] = []
+        options = options or {}
+        aor = options.get("as_of_run")
+        self.as_of_run = int(aor) if aor is not None else None
+        # Lineage-managed stores (written by pysparkenc.lineage): the
+        # file listing is NOT the table — visibility is governed by the
+        # commit records. Plan from committed runs, skip superseded
+        # layouts (a compacted-but-unexpired store is read exactly once)
+        # and apply equality-delete sets, so this read path and
+        # read_store can never disagree on a maintained store.
+        self.lineage = is_lineage_store(path)
+        self.live: dict[int, tuple[int, ...]] = {}
+        self.deletes: list[tuple[int, str, tuple[str, ...]]] = []
+        self._key_tabs: dict[int, pa.Table] = {}  # executor-side cache
+        if self.lineage:
+            live, dels = _lineage_plan(path, self.as_of_run)
+            self.live = live
+            for run_id, key_dir in dels:
+                kf = _list_parquet(key_dir)
+                if not kf:  # unreadable committed delete: fail loudly
+                    raise ValueError(
+                        f"delete run {run_id} of lineage store {path} has "
+                        "no key files — store is corrupt (expire_runs "
+                        "removes key dirs only after supersede)"
+                    )
+                self.deletes.append(
+                    (run_id, key_dir, tuple(pq.read_schema(kf[0]).names))
+                )
+        elif self.as_of_run is not None:
+            raise ValueError(
+                "as_of_run is only meaningful on a lineage-managed store "
+                f"(no lineage/ dir under {path})"
+            )
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         self.pushed = _to_pushed(filters, self.user_schema)
@@ -205,28 +443,16 @@ class ChunkStoreReader(DataSourceReader):
         return iter(filters)
 
     def partitions(self) -> list[InputPartition]:
-        files = _list_chunk_files(self.path)
-        # Bin-pack small files into byte-targeted read partitions: each
-        # partition costs a Python worker round-trip, so a store left by
-        # many streaming micro-batches (hundreds of tiny chunk files)
-        # must not pay it per FILE. Compacted stores with ~target-sized
-        # files get one file per partition — full parallelism either way.
-        target = 32 << 20
-        groups: list[tuple[str, ...]] = []
-        cur: list[str] = []
-        acc = 0
-        for f in files:
-            try:
-                sz = os.path.getsize(f)
-            except OSError:
-                sz = target
-            if cur and acc + sz > target:
-                groups.append(tuple(cur))
-                cur, acc = [], 0
-            cur.append(f)
-            acc += sz
-        if cur:
-            groups.append(tuple(cur))
+        if self.lineage:
+            parts: list[InputPartition] = []
+            for r in sorted(self.live):
+                run_dir = os.path.join(_chunk_dir(self.path), f"run_id={r}")
+                # bin-pack within a run only: delete sequencing is
+                # per-run (a file's writing run comes from its dir)
+                for g in _bin_pack(_list_parquet(run_dir)):
+                    parts.append(InputPartition(("L", r, g)))
+            return parts or [InputPartition(None)]
+        groups = _bin_pack(_list_chunk_files(self.path))
         # zero files: one empty partition so the scan yields an empty
         # DataFrame instead of failing
         return [InputPartition(g) for g in groups] or [InputPartition(None)]
@@ -235,9 +461,116 @@ class ChunkStoreReader(DataSourceReader):
         if partition.value is None:
             return
         val = partition.value
+        if isinstance(val, tuple) and len(val) == 3 and val[0] == "L":
+            _, run_id, files = val
+            for f in files:
+                yield from self._read_lineage_file(f, int(run_id))
+            return
         files = (val,) if isinstance(val, str) else val
         for f in files:
             yield from self._read_file(f)
+
+    # -- lineage-store read path ------------------------------------------
+
+    def _widened_schema(self) -> tuple[StructType, list[str]]:
+        """User projection widened with every delete key column (the
+        anti-membership filter needs them decoded even when the
+        projection drops them), plus the key columns' field types
+        recovered from the store. Returns (decode_schema, user_cols)."""
+        have = {f.name for f in self.user_schema.fields}
+        need = [
+            c
+            for _, _, kcols in self.deletes
+            for c in kcols
+            if c not in have
+        ]
+        if not need:
+            return self.user_schema, [f.name for f in self.user_schema.fields]
+        store = _recover_store_schema(self.path, self.live)
+        extra = [f for f in store.fields if f.name in set(need)]
+        missing = set(need) - {f.name for f in extra}
+        if missing:
+            raise ValueError(
+                f"delete key column(s) {sorted(missing)} not present in "
+                f"store schema — store at {self.path} is corrupt"
+            )
+        return (
+            StructType(list(self.user_schema.fields) + extra),
+            [f.name for f in self.user_schema.fields],
+        )
+
+    def _keys_for(self, run_id: int) -> list[tuple[int, pa.Table]]:
+        """Key tables of delete runs that apply to rows written by
+        ``run_id`` (Iceberg sequencing: ``del_run > row_run``), loaded
+        once per task and cached."""
+        out = []
+        for del_run, key_dir, _ in self.deletes:
+            if del_run <= run_id:
+                continue
+            t = self._key_tabs.get(del_run)
+            if t is None:
+                t = pq.read_table(key_dir)
+                self._key_tabs[del_run] = t
+            out.append((del_run, t))
+        return out
+
+    def _read_lineage_file(self, path: str, run_id: int):
+        decode_schema, user_cols = self._widened_schema()
+        allowed: set[str] = set()
+        for f in decode_schema.fields:
+            allowed |= engine._subtree_chunk_names(f.name, f.dataType)
+        table = pq.read_table(
+            path,
+            # ANDed filters: requested columns AND committed partitions
+            # only (orphan part ids from a crashed encode never decode)
+            filters=[
+                ("col", "in", sorted(allowed)),
+                ("part_id", "in", list(self.live.get(run_id, ()))),
+            ],
+        )
+        if table.num_rows == 0:
+            return
+        decode_pages = engine._group_decoder(decode_schema)
+        pid = table.column("part_id").to_numpy()
+        cid = table.column("chunk_id").to_numpy()
+        order = np.lexsort((cid, pid))
+        table = table.take(pa.array(order))
+        pid, cid = pid[order], cid[order]
+        keys = pid * (int(cid.max()) + 1 if cid.size else 1) + cid
+        group_starts = np.concatenate(
+            [[0], np.flatnonzero(np.diff(keys)) + 1, [keys.size]]
+        )
+        dels = self._keys_for(run_id)
+        for s, e in zip(group_starts[:-1], group_starts[1:]):
+            if self.pushed:
+                meta_rows = self._group_meta(table, int(s), int(e))
+                if not all(
+                    _group_passes(meta_rows, p) for p in self.pushed
+                ):
+                    continue
+            out = decode_pages(table.slice(int(s), int(e - s)))
+            for _, keys_tab in dels:
+                mask = _delete_drop_mask(out, keys_tab)
+                if mask is not None:
+                    out = out.filter(pc.invert(mask))
+            if out.num_rows:
+                yield from out.select(user_cols).to_batches()
+
+    def _group_meta(self, table: pa.Table, s: int, e: int) -> dict:
+        wanted = ["col", "codec", "dtype", "logical", "n_rows",
+                  "null_count", "n_unique", "num_min", "num_max",
+                  "extra", "aux", "bloom"]
+        present = set(table.schema.names)
+        sl = table.slice(s, e - s)
+        cols = {
+            c: (sl.column(c).to_pylist() if c in present
+                else [None] * sl.num_rows)
+            for c in wanted
+        }
+        return {
+            cols["col"][j]: {c: cols[c][j] for c in cols}
+            for j in range(sl.num_rows)
+        }
 
     def _read_file(self, path: str):
         schema = self.user_schema
@@ -548,18 +881,37 @@ class ChunkStoreDataSource(DataSource):
         return p
 
     def schema(self) -> StructType:
-        return read_store_schema(self._path())
+        p = self._path()
+        if not os.path.exists(_schema_path(p)) and is_lineage_store(p):
+            # lineage stores carry no schema sidecar — recover it from
+            # committed chunk metadata (driver-side, payload-free)
+            aor = self.options.get("as_of_run")
+            live, _ = _lineage_plan(p, int(aor) if aor is not None else None)
+            return _recover_store_schema(p, live)
+        return read_store_schema(p)
 
     def reader(self, schema: StructType) -> ChunkStoreReader:
-        return ChunkStoreReader(self._path(), schema)
+        return ChunkStoreReader(self._path(), schema, dict(self.options))
 
     def streamReader(  # noqa: N802 (Spark API name)
         self, schema: StructType
     ) -> ChunkStoreStreamReader:
-        return ChunkStoreStreamReader(self._path(), schema)
+        p = self._path()
+        if is_lineage_store(p):
+            # the streaming tail's offset domain is the flat file-name
+            # watermark — it cannot express commit visibility (orphan
+            # chunks, supersede, deletes). Refuse rather than tail
+            # uncommitted files.
+            raise ValueError(
+                f"{p} is a lineage-managed store; streaming reads must go "
+                "through pysparkenc.lineage (read_store per snapshot / "
+                "as_of_run), not readStream.format('pysparkenc')"
+            )
+        return ChunkStoreStreamReader(p, schema)
 
     def writer(self, schema: StructType, overwrite: bool) -> ChunkStoreWriter:
         path = self._path()
+        self._check_not_lineage(path)
         sp = _schema_path(path)
         if not overwrite and os.path.exists(sp):
             existing = read_store_schema(path)
@@ -573,9 +925,20 @@ class ChunkStoreDataSource(DataSource):
     def streamWriter(  # noqa: N802 (Spark API name)
         self, schema: StructType, overwrite: bool
     ) -> ChunkStoreStreamWriter:
-        return ChunkStoreStreamWriter(
-            self._path(), schema, dict(self.options), overwrite
-        )
+        p = self._path()
+        self._check_not_lineage(p)
+        return ChunkStoreStreamWriter(p, schema, dict(self.options), overwrite)
+
+    @staticmethod
+    def _check_not_lineage(path: str) -> None:
+        if is_lineage_store(path):
+            # a format() write lands files the commit records don't know
+            # about — invisible to read_store, half-visible here. Refuse.
+            raise ValueError(
+                f"{path} is a lineage-managed store; writes must go through "
+                "pysparkenc.lineage (encode_with_lineage / upsert_rows / "
+                "delete_rows), not write.format('pysparkenc')"
+            )
 
 
 def register(spark) -> None:

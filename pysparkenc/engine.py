@@ -1076,6 +1076,21 @@ def output_schema_of_chunks(chunks_df: DataFrame) -> StructType:
         .orderBy("col_idx")
         .collect()
     )
+    return assemble_schema_from_meta(
+        [
+            {"col": r["col"], "logical": r["logical"], "nc": r["nc"]}
+            for r in meta
+        ]
+    )
+
+
+def assemble_schema_from_meta(meta: list[dict]) -> StructType:
+    """Rebuild a Spark schema from pre-aggregated chunk metadata rows
+    ``{"col", "logical", "nc"}`` (one per distinct chunk name, sorted by
+    ``col_idx``, primary chunks plus top-level ``#def`` rows only, with
+    ``nc`` = max null_count). Shared by :func:`output_schema_of_chunks`
+    (Spark aggregation) and the data source's driver-side pyarrow
+    recovery of a lineage store's schema."""
     value_rows = [r for r in meta if "#" not in r["col"]]
     value_paths = {r["col"] for r in value_rows}
     nullable_structs = {

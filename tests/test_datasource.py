@@ -280,3 +280,141 @@ def test_reader_bin_packs_small_files_into_partitions(spark, tmp_path):
     n_parts = len(reader.partitions())
     assert n_files >= 12
     assert n_parts < n_files  # tiny files actually grouped
+
+
+# ---------------------------------------------------------------------------
+# lineage-managed stores through the data source
+# ---------------------------------------------------------------------------
+
+def _lineage_store(spark, tmp_path, n=160, seed=21):
+    from pysparkenc.lineage import encode_with_lineage
+    from pysparkenc.synth import make_tokens_table
+
+    store = str(tmp_path / "linstore")
+    df = make_tokens_table(spark, n, seed=seed)
+    encode_with_lineage(df, store, partition_by=("source", "doc_id"),
+                        num_partitions=4)
+    return store, df
+
+
+def test_lineage_store_schema_recovery(spark, tmp_path):
+    store, df = _lineage_store(spark, tmp_path)
+    back = spark.read.format("pysparkenc").load(store)
+    assert [f.name for f in back.schema.fields] == df.columns
+    assert back.count() == 160
+
+
+def test_lineage_store_applies_deletes_through_format(spark, tmp_path):
+    """The r4 seam: a format() read must agree with read_store on a
+    maintained store — committed deletes apply, even when the
+    projection drops the key column."""
+    from pysparkenc.lineage import delete_rows, read_store
+
+    store, df = _lineage_store(spark, tmp_path)
+    victims = df.limit(11).select("doc_id")
+    delete_rows(spark, store, victims)
+    back = spark.read.format("pysparkenc").load(store)
+    exp = read_store(spark, store)
+    assert back.count() == 149
+    assert back.exceptAll(exp).count() == 0
+    assert exp.exceptAll(back).count() == 0
+    # projection narrower than the delete keys: doc_id is decoded for
+    # the anti-membership filter, then dropped
+    narrow = spark.read.format("pysparkenc").load(store).select(
+        "source", "n_tok"
+    )
+    nexp = exp.select("source", "n_tok")
+    assert narrow.exceptAll(nexp).count() == 0
+    assert nexp.exceptAll(narrow).count() == 0
+
+
+def test_lineage_store_compacted_unexpired_reads_once(spark, tmp_path):
+    """A compacted-but-unexpired store holds BOTH layouts on disk; the
+    data source must read exactly the compacted one — never the union
+    (double rows), never the stale one."""
+    from pysparkenc.lineage import compact_store
+
+    store, df = _lineage_store(spark, tmp_path)
+    compact_store(spark, store)
+    # both layouts really are on disk
+    run_dirs = sorted(
+        d for d in os.listdir(os.path.join(store, "chunks"))
+        if d.startswith("run_id=")
+    )
+    assert len(run_dirs) == 2
+    back = spark.read.format("pysparkenc").load(store)
+    assert back.count() == 160
+    assert back.exceptAll(df).count() == 0
+    assert df.exceptAll(back).count() == 0
+
+
+def test_lineage_store_orphan_run_invisible(spark, tmp_path):
+    """Chunk files with no committed lineage row (a crashed encode)
+    must not be read through the data source."""
+    import shutil
+
+    store, df = _lineage_store(spark, tmp_path)
+    # simulate a crash: a full chunk dir for run 99, no lineage rows
+    src = os.path.join(store, "chunks", "run_id=1")
+    shutil.copytree(src, os.path.join(store, "chunks", "run_id=99"))
+    back = spark.read.format("pysparkenc").load(store)
+    assert back.count() == 160
+
+
+def test_lineage_store_as_of_run_option(spark, tmp_path):
+    from pysparkenc.lineage import delete_rows
+
+    store, df = _lineage_store(spark, tmp_path)
+    delete_rows(spark, store, df.limit(9).select("doc_id"))
+    now = spark.read.format("pysparkenc").load(store)
+    assert now.count() == 151
+    before = (
+        spark.read.format("pysparkenc").option("as_of_run", "1").load(store)
+    )
+    assert before.count() == 160
+
+
+def test_lineage_store_multicol_delete_keys(spark, tmp_path):
+    from pysparkenc.lineage import delete_rows, read_store
+
+    store, df = _lineage_store(spark, tmp_path)
+    victims = df.limit(7).select("source", "doc_id")
+    delete_rows(spark, store, victims, key_cols=("source", "doc_id"))
+    back = spark.read.format("pysparkenc").load(store)
+    exp = read_store(spark, store)
+    assert back.count() == 153
+    assert back.exceptAll(exp).count() == 0
+    assert exp.exceptAll(back).count() == 0
+
+
+def test_lineage_store_write_and_stream_guards(spark, tmp_path):
+    from pysparkenc.datasource import ChunkStoreDataSource
+
+    store, df = _lineage_store(spark, tmp_path)
+    with pytest.raises(Exception, match="lineage-managed"):
+        df.write.format("pysparkenc").mode("append").save(store)
+    ds = ChunkStoreDataSource({"path": store})
+    with pytest.raises(ValueError, match="lineage-managed"):
+        ds.streamReader(df.schema)
+    with pytest.raises(ValueError, match="lineage-managed"):
+        ds.streamWriter(df.schema, False)
+
+
+def test_lineage_store_pushed_filters_still_prune(spark, tmp_path):
+    """Catalyst pushdown composes with the commit-aware plan: the
+    pruned, delete-filtered format() read returns exactly the rows the
+    predicate selects."""
+    from pysparkenc.lineage import delete_rows, read_store
+
+    store, df = _lineage_store(spark, tmp_path)
+    delete_rows(spark, store, df.limit(5).select("doc_id"))
+    got = (
+        spark.read.format("pysparkenc").load(store)
+        .where(F.col("n_tok") >= 40)
+        .select("doc_id", "n_tok")
+    )
+    exp = read_store(spark, store).where(F.col("n_tok") >= 40).select(
+        "doc_id", "n_tok"
+    )
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
