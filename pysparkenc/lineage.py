@@ -629,6 +629,156 @@ def read_store(
     return out.select(*columns) if columns is not None else out.drop(part_col)
 
 
+# ---------------------------------------------------------------------------
+# delete-aware metadata queries (the store-level siblings of
+# engine.count_rows / distinct_values / aggregate_chunks)
+# ---------------------------------------------------------------------------
+
+def store_count_rows(
+    spark: SparkSession,
+    path: str,
+    *,
+    visible: bool = True,
+    as_of_run: int | None = None,
+) -> int:
+    """``COUNT(*)`` over a lineage store. ``visible=True`` (the default)
+    counts the VISIBLE table — committed rows minus equality-deleted
+    ones — so a takedown is reflected immediately. Fast path: when no
+    delete run is visible (detectable from lineage for free), this is
+    the engine's metadata-only count — one footer aggregation, zero
+    payload decode. With visible deletes, ONLY the delete key columns
+    decode (a narrow projected scan), never the full table.
+    ``visible=False`` is the engine's physical-store semantics
+    (pre-delete), stated explicitly instead of being the silent
+    default."""
+    chunks = read_committed_chunks(spark, path, as_of_run=as_of_run)
+    deletes = (
+        read_delete_sets(spark, path, as_of_run=as_of_run) if visible else []
+    )
+    from .engine import count_rows, output_schema_of_chunks, scan_table
+
+    if not deletes:
+        return count_rows(chunks)
+    key_cols = sorted({c for _, keys in deletes for c in keys.columns})
+    schema = output_schema_of_chunks(chunks)
+    pc = "__pysparkenc_part"
+    rows = scan_table(chunks, schema, columns=key_cols, part_col=pc)
+    return apply_deletes(rows, deletes, part_col=pc).count()
+
+
+def store_distinct_values(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    *,
+    visible: bool = True,
+    as_of_run: int | None = None,
+) -> DataFrame:
+    """Exact ``SELECT DISTINCT col`` over a lineage store, delete-aware
+    by default: a value whose every row was retracted by a committed
+    equality delete no longer appears. Fast path (no visible delete
+    runs): the engine's dictionary-page answer — footer metadata + tiny
+    dict payloads, code streams untouched. With visible deletes the
+    dict pages can't know which rows an anti-join drops, so the scan
+    projects ``col`` plus the delete key columns (still column-pruned —
+    never the full table), applies the deletes, and distincts."""
+    chunks = read_committed_chunks(spark, path, as_of_run=as_of_run)
+    deletes = (
+        read_delete_sets(spark, path, as_of_run=as_of_run) if visible else []
+    )
+    from .engine import distinct_values, output_schema_of_chunks
+
+    schema = output_schema_of_chunks(chunks)
+    from .engine import require_flat_scalar
+
+    require_flat_scalar(schema, col)
+    if not deletes:
+        return distinct_values(chunks, col, schema)
+    return read_store(
+        spark, path, schema, as_of_run=as_of_run, columns=[col]
+    ).distinct()
+
+
+def store_aggregate(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    *,
+    visible: bool = True,
+    as_of_run: int | None = None,
+) -> DataFrame:
+    """COUNT / SUM / MIN / MAX per column over a lineage store (the
+    store-level :func:`engine.aggregate_chunks`), delete-aware by
+    default. Fast path (no visible delete runs): metadata-only — footer
+    stats fold, no payload decode. With visible deletes the aggregate
+    must see which rows survive, so the named columns (plus delete
+    keys) decode in a projected scan and fold with the same output
+    contract: ``n_values`` counts non-null survivors, ``sum_val`` is
+    exact for integer columns (decimal(38,0) fold, null past int64) and
+    null otherwise, ``min_val``/``max_val`` are float64.
+
+    The delete-aware fallback supports plain numeric columns
+    (int/float); converted-domain types (dates, timestamps, decimals,
+    intervals) raise there — their footer stats live in a physical
+    domain a decoded-value fold can't reproduce exactly. Use
+    ``read_store(...)`` + SQL for those, or compact to materialize the
+    deletes and return to the fast path."""
+    chunks = read_committed_chunks(spark, path, as_of_run=as_of_run)
+    deletes = (
+        read_delete_sets(spark, path, as_of_run=as_of_run) if visible else []
+    )
+    from .engine import (
+        _logical_of,
+        aggregate_chunks,
+        output_schema_of_chunks,
+        scan_table,
+    )
+
+    if not deletes:
+        return aggregate_chunks(chunks, cols)
+    schema = output_schema_of_chunks(chunks)
+    int_logicals = {"int32", "int64"}
+    plain_numeric = int_logicals | {"float32", "float64"}
+    for c in cols:
+        lg = _logical_of(schema[c])
+        if lg not in plain_numeric:
+            raise TypeError(
+                f"store_aggregate(visible=True) with pending deletes "
+                f"supports plain numeric columns only; {c} is {lg}. "
+                "Compact the store (materializes deletes) or aggregate "
+                "through read_store()."
+            )
+    key_cols = sorted({c for _, keys in deletes for c in keys.columns})
+    pcol = "__pysparkenc_part"
+    scan_cols = list(dict.fromkeys(list(cols) + key_cols))
+    rows = apply_deletes(
+        scan_table(chunks, schema, columns=scan_cols, part_col=pcol),
+        deletes,
+        part_col=pcol,
+    )
+    lo = F.lit(-(2 ** 63)).cast("decimal(38,0)")
+    hi = F.lit(2 ** 63 - 1).cast("decimal(38,0)")
+    parts = []
+    for c in cols:
+        is_int = _logical_of(schema[c]) in int_logicals
+        s = F.sum(F.col(c).cast("decimal(38,0)"))
+        parts.append(
+            rows.agg(
+                F.count(F.col(c)).cast("long").alias("n_values"),
+                (
+                    F.when((s >= lo) & (s <= hi), s).cast("long")
+                    if is_int else F.lit(None).cast("long")
+                ).alias("sum_val"),
+                F.min(F.col(c)).cast("double").alias("min_val"),
+                F.max(F.col(c)).cast("double").alias("max_val"),
+            ).select(F.lit(c).alias("col"), "*")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def compact_store(
     spark: SparkSession,
     path: str,

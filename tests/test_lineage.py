@@ -287,3 +287,115 @@ def test_compacting_twice_layers_supersede_correctly(spark, tmp_path):
     runs = {int(r["part_id"]) >> 32 for r in read_committed_chunks(
         spark, path).select("part_id").distinct().collect()}
     assert runs == {m2["run_id"]}
+
+
+# ---------------------------------------------------------------------------
+# delete-aware metadata queries (store_count_rows / store_distinct_values /
+# store_aggregate)
+# ---------------------------------------------------------------------------
+
+def test_store_queries_delete_aware(spark, tmp_path):
+    """A deleted key vanishes from COUNT(*), DISTINCT, and the
+    aggregates by default; visible=False keeps the engine's physical
+    (pre-delete) answer."""
+    from pyspark.sql import functions as F
+
+    from pysparkenc.lineage import (
+        delete_rows,
+        store_aggregate,
+        store_count_rows,
+        store_distinct_values,
+    )
+
+    store = str(tmp_path / "store")
+    df = make_tokens_table(spark, 100, seed=77)
+    encode_with_lineage(df, store, partition_by=("source", "doc_id"),
+                        num_partitions=4)
+    # retract EVERY row of one source value: it must drop out of DISTINCT
+    victim_src = df.select("source").distinct().limit(1).collect()[0][0]
+    victims = df.where(F.col("source") == victim_src).select("doc_id")
+    n_victims = victims.count()
+    delete_rows(spark, store, victims)
+
+    assert store_count_rows(spark, store) == 100 - n_victims
+    assert store_count_rows(spark, store, visible=False) == 100
+
+    vis = {r["source"] for r in
+           store_distinct_values(spark, store, "source").collect()}
+    phys = {r["source"] for r in
+            store_distinct_values(spark, store, "source",
+                                  visible=False).collect()}
+    assert victim_src not in vis
+    assert victim_src in phys
+
+    agg = {r["col"]: r for r in
+           store_aggregate(spark, store, ["n_tok"]).collect()}
+    exp = df.join(victims, "doc_id", "left_anti").agg(
+        F.count("n_tok").alias("n"), F.sum("n_tok").alias("s"),
+        F.min("n_tok").alias("mn"), F.max("n_tok").alias("mx"),
+    ).collect()[0]
+    assert agg["n_tok"]["n_values"] == exp["n"]
+    assert agg["n_tok"]["sum_val"] == exp["s"]
+    assert agg["n_tok"]["min_val"] == float(exp["mn"])
+    assert agg["n_tok"]["max_val"] == float(exp["mx"])
+    # physical keeps the retracted rows in the fold
+    aggp = {r["col"]: r for r in
+            store_aggregate(spark, store, ["n_tok"],
+                            visible=False).collect()}
+    assert aggp["n_tok"]["n_values"] == 100
+
+
+def test_store_queries_fast_path_is_metadata_only(spark, tmp_path):
+    """No visible delete runs => the current metadata-only plans run
+    unchanged: store_aggregate's plan has no Python/Arrow stage and
+    never reads the payload bytes (plan-gated), and the answers equal
+    the engine functions'."""
+    import contextlib
+    import io
+
+    from pysparkenc.engine import aggregate_chunks, count_rows
+    from pysparkenc.lineage import (
+        read_committed_chunks,
+        store_aggregate,
+        store_count_rows,
+    )
+
+    store = str(tmp_path / "store")
+    df = make_tokens_table(spark, 60, seed=79)
+    encode_with_lineage(df, store, num_partitions=2)
+    agg = store_aggregate(spark, store, ["n_tok"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        agg.explain("formatted")
+    plan = buf.getvalue()
+    assert "ArrowEvalPython" not in plan and "mapInArrow" not in plan
+    assert "FlatMapGroupsInArrow" not in plan and "BatchEvalPython" not in plan
+    # column pruning: the parquet scan never reads the payload bytes
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "data" not in line and "aux" not in line
+    chunks = read_committed_chunks(spark, store)
+    assert store_count_rows(spark, store) == count_rows(chunks) == 60
+    exp = {r["col"]: r for r in aggregate_chunks(chunks, ["n_tok"]).collect()}
+    got = {r["col"]: r for r in agg.collect()}
+    assert got["n_tok"].asDict() == exp["n_tok"].asDict()
+
+
+def test_store_aggregate_rejects_converted_types_with_deletes(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pysparkenc.lineage import delete_rows, store_aggregate
+
+    store = str(tmp_path / "store")
+    df = make_tokens_table(spark, 40, seed=81).withColumn(
+        "day", F.to_date(F.lit("2024-01-01"))
+    )
+    encode_with_lineage(df, store, num_partitions=2)
+    delete_rows(spark, store, df.limit(3).select("doc_id"))
+    with pytest.raises(TypeError, match="plain numeric"):
+        store_aggregate(spark, store, ["day"])
+    # numeric columns still work with deletes pending
+    out = {r["col"]: r for r in
+           store_aggregate(spark, store, ["n_tok"]).collect()}
+    assert out["n_tok"]["n_values"] == 37
