@@ -912,6 +912,90 @@ def run_delete_bench(n_rows: int, cpus: int, trials: int = 5) -> dict:
         spark.stop()
 
 
+def run_compact_bench(n_rows: int, cpus: int, n_small: int = 8) -> dict:
+    """Does selective compaction's cost scale with the SELECTED subset,
+    not the table? Build the shape that motivates it — one big base run
+    plus a tail of small streaming-append-sized runs — then (a)
+    selectively fold just the tail (``max_run_bytes``) and (b) fully
+    compact the same store. Report wall clock and bytes rewritten for
+    both: at 100 TB the difference is 'routine maintenance' vs 'rewrite
+    the table'."""
+    import shutil
+    import tempfile
+
+    from pysparkenc.lineage import (
+        compact_store,
+        encode_with_lineage,
+        read_store,
+        snapshots,
+    )
+    from pysparkenc.synth import make_tokens_table
+
+    spark = make_spark(min(cpus, 16))
+    tmpdir = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    tmp = tempfile.mkdtemp(prefix="pysparkenc-cmp-", dir=tmpdir)
+    try:
+        from pyspark.sql import functions as F
+
+        store = f"{tmp}/store"
+        big = make_tokens_table(spark, n_rows, seed=42)
+        encode_with_lineage(big, store, partition_by=("source", "doc_id"),
+                            num_partitions=32)
+        small_n = max(200, n_rows // 100)
+        total_small = 0
+        for i in range(n_small):
+            s = make_tokens_table(spark, small_n, seed=100 + i).withColumn(
+                "doc_id", F.concat(F.lit(f"t{i}-"), F.col("doc_id"))
+            )
+            encode_with_lineage(s, store, num_partitions=1, resume=False)
+            total_small += small_n
+        bytes_total = sum(
+            int(r["enc_bytes"]) for r in snapshots(spark, store).collect()
+            if r["operation"] in ("append", "stream-append")
+        )
+        # A/B on two byte-identical stores, FULL first: the first
+        # compaction also pays session warmup (codegen, worker pool),
+        # which must not be charged to the selective leg
+        store2 = f"{tmp}/store2"
+        shutil.copytree(store, store2)
+
+        t0 = time.monotonic()
+        full = compact_store(spark, store2)
+        w_full = round(time.monotonic() - t0, 3)
+        assert read_store(spark, store2).count() == n_rows + total_small
+
+        t0 = time.monotonic()
+        sel = compact_store(spark, store, max_run_bytes=1 << 22)
+        w_sel = round(time.monotonic() - t0, 3)
+        assert sorted(sel["selected_runs"]) == list(range(2, n_small + 2))
+        n_after = read_store(spark, store).count()
+        assert n_after == n_rows + total_small
+
+        return {
+            "metric": "selective vs full compaction cost",
+            "rows_base_run": n_rows,
+            "small_runs": n_small,
+            "rows_per_small_run": small_n,
+            "bytes_total": bytes_total,
+            "selective": {
+                "bytes_selected": sel["bytes_selected"],
+                "frac_of_table": round(
+                    sel["bytes_selected"] / max(1, bytes_total), 4
+                ),
+                "wall_sec": w_sel,
+            },
+            "full": {
+                "bytes_selected": full["bytes_selected"],
+                "wall_sec": w_full,
+            },
+            "selective_speedup": round(w_full / max(w_sel, 1e-9), 2),
+            "cpus": min(cpus, 16),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
 def run_distinct_bench(n_rows: int, cpus: int, trials: int = 5) -> dict:
     """What the dict-page DISTINCT pushdown is worth: the same exact
     ``SELECT DISTINCT source`` over an encoded 2M-row store answered
@@ -978,6 +1062,7 @@ def main() -> None:
     ap.add_argument("--pack-skew", action="store_true")
     ap.add_argument("--deletes", action="store_true")
     ap.add_argument("--distinct-bench", action="store_true")
+    ap.add_argument("--compact-bench", action="store_true")
     ap.add_argument("--scaling-rounds", type=int, default=3)
     ap.add_argument("--rows", type=int, default=200_000)
     ap.add_argument("--worker-cpus", type=int, default=None)
@@ -1000,6 +1085,8 @@ def main() -> None:
         out = run_delete_bench(args.rows, args.cpus)
     elif args.distinct_bench:
         out = run_distinct_bench(args.rows, args.cpus)
+    elif args.compact_bench:
+        out = run_compact_bench(args.rows, args.cpus)
     else:
         out = run_bench(args.sf_dir, args.cpus)
     print(json.dumps(out))

@@ -92,7 +92,11 @@ def completed_part_ids(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_committed_chunks(
-    spark: SparkSession, path: str, *, as_of_run: int | None = None
+    spark: SparkSession,
+    path: str,
+    *,
+    as_of_run: int | None = None,
+    runs: tuple[int, ...] | None = None,
 ) -> DataFrame:
     """Chunk rows whose partition committed (has a done lineage row).
 
@@ -108,8 +112,15 @@ def read_committed_chunks(
     reader saw the moment that run committed — later appends (batch
     resumes or streaming micro-batches) become invisible. Pure metadata:
     the chunk scan itself is pruned by the same broadcast semi-join,
-    never rewritten."""
+    never rewritten.
+
+    ``runs``: restrict to those runs' chunks. ``run_id`` is a hive
+    partition column of the chunk directory, so the filter prunes at
+    FILE LISTING — unselected runs' files are never opened (the scan
+    shape selective compaction needs)."""
     chunks = spark.read.parquet(_chunks_dir(path))
+    if runs is not None:
+        chunks = chunks.where(F.col("run_id").isin([int(r) for r in runs]))
     lin = read_lineage(spark, path)
     done = (
         lin.where(F.col("status") == "done")
@@ -791,6 +802,8 @@ def compact_store(
     target_chunk_bytes: int | None = 1 << 20,
     sort_by: tuple[str, ...] | None = None,
     as_of_run: int | None = None,
+    runs: tuple[int, ...] | None = None,
+    max_run_bytes: int | None = None,
 ) -> dict:
     """Rewrite the store's visible data as ONE fresh run with big,
     well-clustered pages — the Iceberg ``rewrite_data_files`` analogue
@@ -799,6 +812,18 @@ def compact_store(
     adapts per page but can't merge across them); compaction decodes the
     committed table (fully distributed — the same decode path queries
     use) and re-encodes it with ``target_chunk_bytes`` page sizing.
+
+    SELECTIVE compaction (the 100 TB contract — routine maintenance
+    must not rewrite the table): ``runs=(...)`` rewrites only those
+    committed runs; ``max_run_bytes=N`` selects every live run whose
+    committed encoded bytes are below N (the small-streaming-runs
+    folder). Bytes rewritten are proportional to the selected subset —
+    untouched runs' chunk files aren't read, decoded, or rewritten.
+    Visible equality deletes are materialized INTO the rewritten rows
+    (sequenced per row, as any read is); a delete run is superseded
+    only when no remaining (unselected) data run still predates it —
+    otherwise its keys stay live for the runs that still need them.
+    Default (no selection): full compaction, as before.
 
     Commit is ATOMIC against every failure point: the new run's chunk
     rows land first (invisible without lineage), then one single-file
@@ -818,6 +843,8 @@ def compact_store(
     from .engine import decode_table
 
     t0 = time.time()
+    if runs is not None and max_run_bytes is not None:
+        raise ValueError("pass runs= or max_run_bytes=, not both")
     if as_of_run is not None:
         # Compaction REWRITES the current table — it must see every
         # commit. Rewriting an older snapshot would resurrect rows a
@@ -833,24 +860,69 @@ def compact_store(
                 "snapshot would rewrite history (and resurrect rows "
                 "deleted after it). Time travel is for reads."
             )
-    old = (
+    # exact: shiftright recovers the writing run from the combined id
+    # (double division loses low bits past 2^53)
+    all_live = (
         read_committed_chunks(spark, path, as_of_run=as_of_run)
         .select(
-            (F.col("part_id") / F.lit(1 << 32)).cast("long").alias("run_id"),
-            F.pmod(F.col("part_id"), F.lit(1 << 32)).cast("long").alias("part_id"),
+            F.shiftright(F.col("part_id"), 32).alias("run_id"),
+            F.pmod(F.col("part_id"), F.lit(1 << 32)).cast("long")
+            .alias("part_id"),
+            "enc_bytes",
         )
-        .distinct()
+        .groupBy("run_id", "part_id")
+        .agg(F.sum("enc_bytes").cast("long").alias("enc_bytes"))
         .collect()
     )
-    if not old:
+    if not all_live:
         return {"run_id": -1, "partitions": 0, "superseded": 0,
+                "selected_runs": [], "bytes_selected": 0,
                 "wall_sec": time.time() - t0}
-    chunks_in = read_committed_chunks(spark, path, as_of_run=as_of_run)
+    live_runs = {int(r["run_id"]) for r in all_live}
+    if runs is not None:
+        selected = {int(r) for r in runs}
+        unknown = selected - live_runs
+        if unknown:
+            raise ValueError(
+                f"runs {sorted(unknown)} have no live committed "
+                f"partitions (live runs: {sorted(live_runs)})"
+            )
+    elif max_run_bytes is not None:
+        per_run: dict[int, int] = {}
+        for r in all_live:
+            per_run[int(r["run_id"])] = (
+                per_run.get(int(r["run_id"]), 0) + int(r["enc_bytes"])
+            )
+        selected = {r for r, b in per_run.items() if b < int(max_run_bytes)}
+        if not selected:
+            return {"run_id": -1, "partitions": 0, "superseded": 0,
+                    "selected_runs": [], "bytes_selected": 0,
+                    "wall_sec": time.time() - t0}
+    else:
+        selected = live_runs
+    old = [r for r in all_live if int(r["run_id"]) in selected]
+    bytes_selected = sum(int(r["enc_bytes"]) for r in old)
+    remaining = live_runs - selected
     deletes = read_delete_sets(spark, path, as_of_run=as_of_run)
+    # a delete run d applies to rows written by runs < d: it can retire
+    # only when every remaining (unselected) data run is >= d
+    min_remaining = min(remaining) if remaining else None
+    dead_deletes = [
+        dr for dr, _ in deletes
+        if min_remaining is None or min_remaining >= dr
+    ]
+    # run_id is a hive partition column: the runs= filter prunes at
+    # file listing, so bytes READ (not just rewritten) scale with the
+    # selection, not the table
+    chunks_in = read_committed_chunks(
+        spark, path, as_of_run=as_of_run,
+        runs=tuple(sorted(selected)) if remaining else None,
+    )
     if deletes:
-        # materialize equality deletes: the compacted run holds the
-        # post-delete table, and the delete runs are superseded below so
-        # readers stop scanning their key files
+        # materialize equality deletes into the rewritten rows: the
+        # compacted run holds the post-delete subset; fully-retired
+        # delete runs are superseded below so readers stop scanning
+        # their key files
         pc = "__pysparkenc_part"
         df = apply_deletes(
             decode_table(chunks_in, schema, part_col=pc), deletes,
@@ -908,11 +980,13 @@ def compact_store(
             for r in old
         ]
         + [
-            # materialized delete runs: part_id -1 is the whole-run
-            # marker read_delete_sets filters on
+            # fully-retired delete runs: part_id -1 is the whole-run
+            # marker read_delete_sets filters on. A delete some
+            # REMAINING run still predates stays live — its keys keep
+            # applying to the runs this compaction didn't rewrite.
             (int(dr), int(run_id), -1, 0, 0, 0, 0, 0, float(wall),
              "superseded")
-            for dr, _ in deletes
+            for dr in dead_deletes
         ],
         LINEAGE_SCHEMA,
     )
@@ -924,6 +998,9 @@ def compact_store(
         "run_id": run_id,
         "partitions": int(lin.count()),
         "superseded": len(old),
+        "selected_runs": sorted(selected),
+        "bytes_selected": bytes_selected,
+        "superseded_delete_runs": sorted(dead_deletes),
         "wall_sec": time.time() - t0,
     }
 

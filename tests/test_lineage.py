@@ -399,3 +399,136 @@ def test_store_aggregate_rejects_converted_types_with_deletes(spark, tmp_path):
     out = {r["col"]: r for r in
            store_aggregate(spark, store, ["n_tok"]).collect()}
     assert out["n_tok"]["n_values"] == 37
+
+
+# ---------------------------------------------------------------------------
+# selective compaction (runs= / max_run_bytes=)
+# ---------------------------------------------------------------------------
+
+def _dir_digest(d):
+    import hashlib
+    import os
+
+    h = hashlib.sha256()
+    for root, _, files in sorted(os.walk(d)):
+        for f in sorted(files):
+            p = os.path.join(root, f)
+            h.update(f.encode())
+            with open(p, "rb") as fh:
+                h.update(fh.read())
+    return h.hexdigest()
+
+
+def _three_run_store(spark, tmp_path):
+    """Run 1: 600 docs (big). Runs 2, 3: 40 docs each (streaming-tail
+    shaped)."""
+    store = str(tmp_path / "store")
+    big = make_tokens_table(spark, 600, seed=91)
+    s1 = make_tokens_table(spark, 40, seed=92).withColumn(
+        "doc_id", F.concat(F.lit("b2-"), F.col("doc_id")))
+    s2 = make_tokens_table(spark, 40, seed=93).withColumn(
+        "doc_id", F.concat(F.lit("b3-"), F.col("doc_id")))
+    encode_with_lineage(big, store, partition_by=("source", "doc_id"),
+                        num_partitions=4)
+    encode_with_lineage(s1, store, num_partitions=1, resume=False)
+    encode_with_lineage(s2, store, num_partitions=1, resume=False)
+    all_rows = big.unionByName(s1).unionByName(s2)
+    return store, all_rows
+
+
+def test_selective_compact_leaves_untouched_runs_byte_identical(
+    spark, tmp_path
+):
+    import os
+
+    from pysparkenc.lineage import compact_store, expire_runs, read_store
+
+    store, all_rows = _three_run_store(spark, tmp_path)
+    run1_dir = os.path.join(store, "chunks", "run_id=1")
+    before = _dir_digest(run1_dir)
+
+    m = compact_store(spark, store, runs=(2, 3))
+    assert m["selected_runs"] == [2, 3]
+    assert m["superseded"] == 2  # one partition per small run
+    # untouched run's files: byte-identical (never read, never rewritten)
+    assert _dir_digest(run1_dir) == before
+    got = read_store(spark, store)
+    assert got.count() == 680
+    assert got.exceptAll(all_rows).count() == 0
+    assert all_rows.exceptAll(got).count() == 0
+    # time travel to before the compaction reads the original layout
+    pre = read_store(spark, store, as_of_run=3)
+    assert pre.count() == 680
+    # expiry reclaims ONLY the rewritten small runs
+    expired = expire_runs(spark, store)
+    assert sorted(expired["expired_runs"]) == [2, 3]
+    assert os.path.isdir(run1_dir)
+    assert read_store(spark, store).count() == 680
+
+
+def test_selective_compact_delete_retirement(spark, tmp_path):
+    """A delete run retires only when no remaining data run predates
+    it: rewritten rows materialize the delete, untouched older runs
+    still need its keys."""
+    from pysparkenc.lineage import (
+        compact_store,
+        delete_rows,
+        read_delete_sets,
+        read_store,
+    )
+
+    store, all_rows = _three_run_store(spark, tmp_path)
+    # delete run 4: 10 victims from run 1, 5 from run 2
+    v1 = all_rows.where(~F.col("doc_id").startswith("b")).limit(10)
+    v2 = all_rows.where(F.col("doc_id").startswith("b2-")).limit(5)
+    victims = v1.select("doc_id").unionByName(v2.select("doc_id"))
+    delete_rows(spark, store, victims)
+    expected = all_rows.join(victims, "doc_id", "left_anti")
+
+    # compact only run 2: run 1 (older than delete 4) remains → the
+    # delete must stay live
+    m = compact_store(spark, store, runs=(2,))
+    assert m["superseded_delete_runs"] == []
+    assert len(read_delete_sets(spark, store)) == 1
+    got = read_store(spark, store)
+    assert got.count() == 680 - 15
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+
+    # run 3 (id 3 < delete 4) still predates the delete, so compacting
+    # run 1 alone must NOT retire it — retirement is metadata-level and
+    # cannot know run 3 holds no matching keys
+    m15 = compact_store(spark, store, runs=(1,))
+    assert m15["superseded_delete_runs"] == []
+    assert len(read_delete_sets(spark, store)) == 1
+    # now fold run 3 as well: every remaining run (5, 6) is newer than
+    # the delete → it retires, keys stop being scanned
+    m2 = compact_store(spark, store, runs=(3,))
+    assert m2["superseded_delete_runs"] == [4]
+    assert read_delete_sets(spark, store) == []
+    got2 = read_store(spark, store)
+    assert got2.count() == 680 - 15
+    assert got2.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got2).count() == 0
+
+
+def test_compact_max_run_bytes_selects_small_runs(spark, tmp_path):
+    from pysparkenc.lineage import compact_store, read_store, snapshots
+
+    store, all_rows = _three_run_store(spark, tmp_path)
+    sizes = {
+        int(r["run_id"]): int(r["enc_bytes"])
+        for r in snapshots(spark, store).collect()
+        if r["operation"] in ("append", "stream-append")
+    }
+    # threshold between the small runs and the big one
+    thresh = (sizes[2] + sizes[3]) // 2 + sizes[1] // 10
+    thresh = max(sizes[2], sizes[3]) + 1
+    assert thresh < sizes[1]
+    m = compact_store(spark, store, max_run_bytes=thresh)
+    assert m["selected_runs"] == [2, 3]
+    assert m["bytes_selected"] == sizes[2] + sizes[3]
+    assert read_store(spark, store).count() == 680
+    # selecting nothing is a no-op, not an error
+    m2 = compact_store(spark, store, max_run_bytes=1)
+    assert m2["run_id"] == -1 and m2["selected_runs"] == []
