@@ -237,6 +237,105 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return px[:, :, ::-1].copy()  # BGR -> RGB
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure stdlib-zlib + numpy decoder for 8-bit non-interlaced PNG
+    (color types gray / RGB / gray+alpha / RGBA). Returns a uint8 array
+    shaped ``(h, w)`` for grayscale or ``(h, w, channels)`` otherwise.
+
+    This is the one COMPRESSED image format decodable without native
+    media libraries: DEFLATE is ``zlib`` from the standard library, and
+    the five scanline filters un-apply with numpy (Sub is a per-lane
+    cumulative sum mod 256; Up is vectorized against the previous row;
+    Average/Paeth fall back to an in-row walk — they are rare in
+    encoder output and bounded by the row width). CRCs of ancillary
+    chunks are not recomputed; structural damage (bad signature, short
+    chunks, inconsistent IDAT length) RAISES — never a silent
+    mis-decode. Palette (3), 16-bit, and interlaced PNGs raise
+    ``NotImplementedError`` naming the variant."""
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    ended = False
+    while pos + 8 <= len(payload):
+        (clen,) = np.frombuffer(payload, ">u4", 1, pos)
+        ctype = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + int(clen)]
+        if len(body) < int(clen) or pos + 12 + int(clen) > len(payload):
+            raise ValueError(f"truncated {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            ended = True
+            break
+        pos += 12 + int(clen)  # len + type + data + crc
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("missing/short IHDR")
+    if not idat or not ended:
+        raise ValueError("missing IDAT/IEND")
+    w, h = (int(x) for x in np.frombuffer(ihdr, ">u4", 2, 0))
+    bit_depth, color_type, comp, filt, interlace = ihdr[8:13]
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard compression/filter method")
+    if interlace != 0:
+        raise NotImplementedError("interlaced (Adam7) PNGs")
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"only 8-bit gray/RGB/gray+A/RGBA PNGs (got depth {bit_depth}, "
+            f"color type {color_type})"
+        )
+    if w <= 0 or h <= 0:
+        raise ValueError("degenerate PNG dimensions")
+    ch = _PNG_CHANNELS[color_type]
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    stride = w * ch
+    if raw.size != h * (stride + 1):
+        raise ValueError("IDAT length does not match dimensions")
+    lines = raw.reshape(h, stride + 1)
+    out = np.empty((h, stride), np.uint16)
+    prev = np.zeros(stride, np.uint16)
+    for y in range(h):
+        ftype = int(lines[y, 0])
+        row = lines[y, 1:].astype(np.uint16)
+        if ftype == 0:
+            rec = row
+        elif ftype == 1:  # Sub: per-lane prefix sum mod 256
+            rec = row.copy()
+            for lane in range(ch):
+                rec[lane::ch] = np.cumsum(row[lane::ch], dtype=np.uint64) & 0xFF
+        elif ftype == 2:  # Up
+            rec = (row + prev) & 0xFF
+        elif ftype in (3, 4):  # Average / Paeth: in-row walk
+            rec = np.zeros(stride, np.uint16)
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                if ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb and pa_ <= pc_) else (
+                        b if pb <= pc_ else c)
+                rec[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid scanline filter type {ftype}")
+        out[y] = rec
+        prev = rec
+    px = out.astype(np.uint8)
+    return px.reshape(h, w) if ch == 1 else px.reshape(h, w, ch)
+
+
 def decode_asset(payload: bytes, kind: str, *, fake: bool = False) -> np.ndarray:
     """Decode an encoded asset to a raw sample array.
 
@@ -254,9 +353,12 @@ def decode_asset(payload: bytes, kind: str, *, fake: bool = False) -> np.ndarray
         return decode_wav(payload)
     if len(payload) >= 2 and payload[:2] == b"BM":
         return decode_bmp(payload)
+    if len(payload) >= 8 and payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
-        f"{kind} decoding: only uncompressed PCM WAV and 24-bit BMP are "
-        "decodable without media codecs; pass fake=True for the "
+        f"{kind} decoding: only PCM WAV, 24-bit BMP, and 8-bit PNG are "
+        "decodable without native media codecs (JPEG/MP3/H.264 need "
+        "libjpeg/libsndfile/ffmpeg); pass fake=True for the "
         "deterministic byte-stream fake"
     )
 

@@ -190,3 +190,82 @@ def test_real_feature_extraction_over_fixture_assets(spark):
         n_b, feats = got[aid]
         assert n_b == len(payload)
         assert np.allclose(feats, want)
+
+
+def _png_bytes() -> bytes:
+    return open(os.path.join(FIX, "gradient.png"), "rb").read()
+
+
+def test_decode_png_fixture_exact_pixels():
+    """The committed fixture cycles through ALL FIVE scanline filters
+    (scripts/make_png_fixture.py writes row y with filter y % 5), so
+    every un-filter path is checked pixel-exact."""
+    from pysparkenc.multimodal import decode_asset
+
+    img = decode_asset(_png_bytes(), "image")
+    assert img.shape == (17, 24, 3) and img.dtype == np.uint8
+    yy, xx = np.mgrid[0:17, 0:24]
+    assert np.array_equal(img[..., 0], ((xx * 11) % 256).astype(np.uint8))
+    assert np.array_equal(img[..., 1], ((yy * 23) % 256).astype(np.uint8))
+    assert np.array_equal(img[..., 2],
+                          ((xx * 5 + yy * 7) % 256).astype(np.uint8))
+
+
+def test_decode_png_all_color_types_and_rejections():
+    import struct
+    import zlib
+
+    from pysparkenc.multimodal import decode_png
+
+    def chunk(t, b):
+        return (struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF))
+
+    def make(w, h, ct, ch, depth=8, interlace=0):
+        raw = bytearray()
+        for y in range(h):
+            raw.append(0)
+            raw += bytes(((x * 3 + y * ch + c) % 256)
+                         for x in range(w) for c in range(ch))
+        return (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR",
+                        struct.pack(">IIBBBBB", w, h, depth, ct, 0, 0,
+                                    interlace))
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    assert decode_png(make(5, 4, 0, 1)).shape == (4, 5)       # gray
+    assert decode_png(make(5, 4, 4, 2)).shape == (4, 5, 2)    # gray+A
+    assert decode_png(make(5, 4, 6, 4)).shape == (4, 5, 4)    # RGBA
+    with pytest.raises(NotImplementedError):                   # palette
+        decode_png(make(5, 4, 3, 1))
+    with pytest.raises(NotImplementedError):                   # interlaced
+        decode_png(make(5, 4, 2, 3, interlace=1))
+    png = _png_bytes()
+    for cut in (7, 20, 40, len(png) - 5):                      # truncation
+        with pytest.raises((ValueError, Exception)):
+            decode_png(png[:cut])
+    # IDAT length inconsistent with IHDR dims: raises, never misdecodes
+    bad = make(5, 4, 2, 3).replace(
+        struct.pack(">II", 5, 4), struct.pack(">II", 6, 4), 1
+    )
+    with pytest.raises(Exception):
+        decode_png(bad)
+
+
+def test_real_feature_extraction_includes_png(spark):
+    from pysparkenc.multimodal import (
+        ASSET_SCHEMA,
+        decode_asset,
+        extract_features,
+    )
+
+    png = _png_bytes()
+    assets = spark.createDataFrame(
+        [(7, "image", bytearray(png), 24, 17, None, None)], ASSET_SCHEMA
+    )
+    row = extract_features(assets, fake_decode=False).collect()[0]
+    dec = np.frombuffer(decode_asset(png, "image").tobytes(), np.uint8)
+    hist = np.bincount(dec >> 4, minlength=16).astype(float)
+    assert row["n_bytes"] == len(png)
+    assert np.allclose(row["features"], hist / hist.sum())
