@@ -63,8 +63,10 @@ from pyspark.sql.datasource import (
     In,
     InputPartition,
     IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
+    Not,
     StringStartsWith,
     WriterCommitMessage,
 )
@@ -234,9 +236,13 @@ def _recover_store_schema(
                 cur = agg.get(c)
                 if cur is None:
                     agg[c] = {"col": c, "col_idx": int(i), "logical": lg,
-                              "nc": n}
+                              "nc": n, "ng": 1}
                 else:
                     cur["nc"] = max(cur["nc"], n)
+                    # one chunk row per (part, chunk) group per column:
+                    # the occurrence count = groups carrying the column
+                    # (schema evolution's nullability signal)
+                    cur["ng"] += 1
     meta = sorted(agg.values(), key=lambda m: m["col_idx"])
     return engine.assemble_schema_from_meta(meta)
 
@@ -297,7 +303,11 @@ class _Pushed:
 
 def _to_pushed(filters: Sequence[Filter], schema: StructType) -> list[_Pushed]:
     """Translate the prunable subset of Catalyst filters. Only top-level
-    scalar columns participate (nested predicates stay Spark-side)."""
+    scalar columns participate (nested predicates stay Spark-side).
+    ``Not`` unwraps for ``IsNull`` (-> not-null prune); other negations
+    and disjunctions never arrive — the Python Data Source filter API
+    (pyspark.sql.datasource) defines no ``Or`` class, so Spark keeps OR
+    trees on its side and re-applies them after our scan."""
     scalar = {
         f.name
         for f in schema.fields
@@ -306,11 +316,19 @@ def _to_pushed(filters: Sequence[Filter], schema: StructType) -> list[_Pushed]:
     }
     out: list[_Pushed] = []
     for f in filters:
+        if isinstance(f, Not):
+            inner = f.child
+            if isinstance(inner, IsNull):
+                f = IsNotNull(attribute=inner.attribute)
+            else:
+                continue  # NOT(eq/in/...) can't prove a group empty
         attr = getattr(f, "attribute", None)
         if not attr or len(attr) != 1 or attr[0] not in scalar:
             continue
         c = attr[0]
-        if isinstance(f, EqualTo) or (
+        if isinstance(f, IsNull):
+            out.append(_Pushed(c, "isnull"))
+        elif isinstance(f, EqualTo) or (
             isinstance(f, EqualNullSafe) and f.value is not None
         ):
             out.append(_Pushed(c, "isin", (f.value,)))
@@ -339,6 +357,10 @@ def _group_passes(meta_rows: dict[str, dict], p: _Pushed) -> bool:
     if p.kind == "notnull":
         nr, nc = d["n_rows"], d["null_count"]
         return not (nr is not None and nc is not None and nc >= nr)
+    if p.kind == "isnull":
+        # IS NULL can only match a group that recorded some nulls
+        nc = d["null_count"]
+        return nc is None or nc > 0
     if p.kind == "prefix":
         pref = str(p.values[0])
         smin, smax = extra.get("smin"), extra.get("smax")

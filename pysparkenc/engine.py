@@ -1072,13 +1072,20 @@ def output_schema_of_chunks(chunks_df: DataFrame) -> StructType:
             | (F.col("col").endswith("#def") & ~base.contains("#"))
         )
         .groupBy("col", "col_idx", "logical")
-        .agg(F.max("null_count").alias("nc"))
+        .agg(
+            F.max("null_count").alias("nc"),
+            # every column has exactly one chunk row per (part, chunk)
+            # group, so this row count = the number of groups carrying
+            # the column — schema evolution's nullability signal
+            F.count(F.lit(1)).alias("ng"),
+        )
         .orderBy("col_idx")
         .collect()
     )
     return assemble_schema_from_meta(
         [
-            {"col": r["col"], "logical": r["logical"], "nc": r["nc"]}
+            {"col": r["col"], "logical": r["logical"], "nc": r["nc"],
+             "ng": r["ng"]}
             for r in meta
         ]
     )
@@ -1086,12 +1093,20 @@ def output_schema_of_chunks(chunks_df: DataFrame) -> StructType:
 
 def assemble_schema_from_meta(meta: list[dict]) -> StructType:
     """Rebuild a Spark schema from pre-aggregated chunk metadata rows
-    ``{"col", "logical", "nc"}`` (one per distinct chunk name, sorted by
-    ``col_idx``, primary chunks plus top-level ``#def`` rows only, with
-    ``nc`` = max null_count). Shared by :func:`output_schema_of_chunks`
+    ``{"col", "logical", "nc", "ng"}`` (one per distinct chunk name,
+    sorted by ``col_idx``, primary chunks plus top-level ``#def`` rows
+    only; ``nc`` = max null_count, ``ng`` = number of chunk groups
+    carrying the column). Shared by :func:`output_schema_of_chunks`
     (Spark aggregation) and the data source's driver-side pyarrow
-    recovery of a lineage store's schema."""
+    recovery of a lineage store's schema.
+
+    Nullability: a column is nullable when any chunk recorded nulls OR
+    when some group lacks the column entirely (schema evolution — the
+    anchor rule decodes those groups' rows as nulls, so the recovered
+    field must admit them)."""
     value_rows = [r for r in meta if "#" not in r["col"]]
+    total_groups = max((int(r.get("ng") or 0) for r in value_rows),
+                       default=0)
     value_paths = {r["col"] for r in value_rows}
     nullable_structs = {
         r["col"][:-4]
@@ -1104,8 +1119,9 @@ def assemble_schema_from_meta(meta: list[dict]) -> StructType:
         cursor = root
         for p in parts[:-1]:
             cursor = cursor.setdefault(p, {})
+        nullable = r["nc"] > 0 or int(r.get("ng") or total_groups) < total_groups
         cursor[parts[-1]] = StructField(
-            parts[-1], _spark_type_of(r["logical"]), r["nc"] > 0
+            parts[-1], _spark_type_of(r["logical"]), nullable
         )
 
     def to_struct(d: dict, prefix: str = "") -> StructType:
@@ -1523,6 +1539,22 @@ def prune_chunks(
     groups — this is predicate pushdown *through* the encoded
     representation.
     """
+    keep = _prune_keys_range(chunks_df, col, lo, hi)
+    return chunks_df.join(F.broadcast(keep), ["part_id", "chunk_id"],
+                          "left_semi")
+
+
+def _prune_keys_range(
+    chunks_df: DataFrame,
+    col: str,
+    lo: float | str | None = None,
+    hi: float | str | None = None,
+) -> DataFrame:
+    """The keep-keys side of :func:`prune_chunks`: (part_id, chunk_id)
+    of chunk groups whose ``col`` stats overlap [lo, hi]. Exposed
+    separately so OR disjunctions can UNION branch survivors' keys
+    directly instead of unioning nested semi-joins (see
+    ``scan_table``)."""
     if isinstance(lo, str) or isinstance(hi, str):
         # string bounds: lexicographic smin/smax live in the chunk's
         # extra JSON (absent smax = unbounded after truncation — keep)
@@ -1538,9 +1570,7 @@ def prune_chunks(
         if hi is not None:
             mn = F.col("smin")
             cond = cond & (mn.isNull() | (mn <= str(hi)))
-        keep = stats.where(cond).select("part_id", "chunk_id")
-        return chunks_df.join(F.broadcast(keep), ["part_id", "chunk_id"],
-                              "left_semi")
+        return stats.where(cond).select("part_id", "chunk_id")
 
     stats = chunks_df.where(F.col("col") == col).select(
         "part_id", "chunk_id", "num_min", "num_max"
@@ -1558,9 +1588,7 @@ def prune_chunks(
     if hi is not None:
         mn = F.col("num_min")
         cond = cond & (mn.isNull() | (~F.isnan(mn) & (mn <= float(hi))))
-    keep = stats.where(cond).select("part_id", "chunk_id")
-    return chunks_df.join(F.broadcast(keep), ["part_id", "chunk_id"],
-                          "left_semi")
+    return stats.where(cond).select("part_id", "chunk_id")
 
 
 def _bloom_probe_hashes(svals, nvals):
@@ -1707,13 +1735,13 @@ def _chunk_passes_range(num_min, num_max, extra: dict, lo, hi) -> bool:
     return True
 
 
-def prune_chunks_isin(
+def _prune_keys_isin(
     chunks_df: DataFrame,
     col: str,
     values,
 ) -> DataFrame:
     """Dictionary-page predicate pushdown for an IN-list (or equality)
-    probe.
+    probe, returning the surviving groups' (part_id, chunk_id) keys.
 
     For ``dict_rle`` chunks of ``col``, decode only the (tiny) dictionary
     page and drop chunk groups whose dictionary contains none of
@@ -1777,7 +1805,17 @@ def prune_chunks_isin(
                 names=["part_id", "chunk_id"],
             )
 
-    keep = meta.mapInArrow(probe, "part_id long, chunk_id long")
+    return meta.mapInArrow(probe, "part_id long, chunk_id long")
+
+
+def prune_chunks_isin(
+    chunks_df: DataFrame,
+    col: str,
+    values,
+) -> DataFrame:
+    """See :func:`_prune_keys_isin` (the keep-keys computation); this
+    wrapper semi-joins the surviving groups back onto the chunk rows."""
+    keep = _prune_keys_isin(chunks_df, col, values)
     return chunks_df.join(F.broadcast(keep), ["part_id", "chunk_id"],
                           "left_semi")
 
@@ -2078,15 +2116,22 @@ def scan_table(
     file-reader.go:54,110-112, with the pruning the reference's stats
     can't do).
 
-    ``where`` is an AND of simple predicates, each routed to the
-    strongest pruning pass available before any payload decode:
+    ``where`` is an AND of predicates, each routed to the strongest
+    pruning pass available before any payload decode:
 
     - ``(col, "==", v)``     -> dict-page probe + bloom + stats
     - ``(col, "in", [v..])`` -> dict-page probe + bloom + stats
-    - ``(col, "!=", v)``     -> residual-only (no pruning can apply)
+    - ``(col, "!=", v)`` / ``(col, "not in", [v..])`` -> residual-only
+      (an inequality can never prove a whole chunk empty)
     - ``(col, ">=", v)`` / ``(col, "<=", v)`` / ``(col, ">", v)`` /
       ``(col, "<", v)`` / ``(col, "between", (lo, hi))`` -> min/max
       stat range skip (strict ops prune with the inclusive superset)
+    - ``("or", [p1, p2, ...])`` -> DISJUNCTION of simple predicates
+      (each ``pi`` any of the forms above, any columns). Prunes with
+      the UNION of the disjuncts' surviving chunk groups — a group is
+      dropped only when EVERY branch proves it empty — unless some
+      branch is non-prunable (``!=`` / ``not in``), in which case the
+      disjunction is residual-only.
 
     Values for EVERY op are given in the column's *physical* numeric
     domain for converted types (epoch-days for DATE, micros for
@@ -2109,53 +2154,111 @@ def scan_table(
         schema = output_schema_of_chunks(chunks_df)
     where = [tuple(w) for w in where]
     names = {f.name for f in schema.fields}
+
+    def _terms_of(w) -> list[tuple]:
+        if len(w) == 2 and w[0] == "or":
+            ts = [tuple(t) for t in w[1]]
+            if not ts:
+                raise ValueError("empty OR disjunction")
+            return ts
+        return [w]
+
     for w in where:
-        if len(w) != 3:
-            raise ValueError(f"predicate must be (col, op, value): {w!r}")
-        if w[0] not in names:
-            raise KeyError(f"unknown predicate column {w[0]!r}")
+        for t in _terms_of(w):
+            if len(t) != 3:
+                raise ValueError(f"predicate must be (col, op, value): {t!r}")
+            if t[0] not in names:
+                raise KeyError(f"unknown predicate column {t[0]!r}")
+    pred_cols = [t[0] for w in where for t in _terms_of(w)]
     if columns is not None:
-        need = list(dict.fromkeys(list(columns) + [w[0] for w in where]))
+        need = list(dict.fromkeys(list(columns) + pred_cols))
         missing = [c for c in need if c not in names]
         if missing:
             raise KeyError(f"unknown columns {missing}")
         sub = StructType([f for f in schema.fields if f.name in need])
     else:
         sub = schema
-    pruned = chunks_df
-    conds = []
-    for col, op, v in where:
+
+    _RANGE_OPS = (">=", "<=", ">", "<", "between")
+
+    def _residual(col, op, v):
+        """Exact row-level filter for one simple predicate, in the same
+        physical domain the prune (and the caller) used — a raw literal
+        would compare a decimal column to its unscaled int, or a
+        timestamp to bare micros."""
         field = sub[col]
         if op in ("==", "="):
-            pruned = prune_chunks_equals(pruned, col, v)
-            # residual filter in the SAME physical domain the prune (and
-            # the caller) used — a raw literal would compare a decimal
-            # column to its unscaled int, or a timestamp to bare micros
-            conds.append(F.col(col) == _physical_bound(field, v))
-        elif op == "in":
-            vals = list(v)
-            pruned = prune_chunks_isin(pruned, col, vals)
-            conds.append(_isin_physical(field, vals))
-        elif op in ("!=", "<>"):
-            # residual-only: an inequality can never prove a whole chunk
-            # absent (any chunk with >1 distinct value survives), so no
-            # pruning pass applies — the filter still runs post-decode
-            conds.append(~(F.col(col) == _physical_bound(field, v)))
-        elif op in (">=", "<=", ">", "<", "between"):
-            # strict ops prune with the INCLUSIVE bound (a superset —
-            # pruning is never a correctness dependency) and apply the
-            # strict comparison in the residual row filter
+            return F.col(col) == _physical_bound(field, v)
+        if op == "in":
+            return _isin_physical(field, list(v))
+        if op in ("!=", "<>"):
+            return ~(F.col(col) == _physical_bound(field, v))
+        if op == "not in":
+            return ~_isin_physical(field, list(v))
+        if op in _RANGE_OPS:
             lo = v[0] if op == "between" else (v if op in (">=", ">") else None)
             hi = v[1] if op == "between" else (v if op in ("<=", "<") else None)
-            pruned = prune_chunks(pruned, col, lo, hi)
+            cond = F.lit(True)
             if lo is not None:
                 b = _physical_bound(field, lo)
-                conds.append(F.col(col) > b if op == ">" else F.col(col) >= b)
+                cond = cond & (F.col(col) > b if op == ">" else F.col(col) >= b)
             if hi is not None:
                 b = _physical_bound(field, hi)
-                conds.append(F.col(col) < b if op == "<" else F.col(col) <= b)
-        else:
-            raise ValueError(f"unsupported predicate op {op!r}")
+                cond = cond & (F.col(col) < b if op == "<" else F.col(col) <= b)
+            return cond
+        raise ValueError(f"unsupported predicate op {op!r}")
+
+    def _prune_keys(chunks, col, op, v):
+        """Surviving-group keys under the strongest prune for one
+        simple predicate, or None when the op can't prove a group empty
+        (``!=``/``not in``: any chunk with >1 distinct value
+        survives)."""
+        if op in ("==", "="):
+            return _prune_keys_isin(chunks, col, [v])
+        if op == "in":
+            return _prune_keys_isin(chunks, col, list(v))
+        if op in _RANGE_OPS:
+            lo = v[0] if op == "between" else (v if op in (">=", ">") else None)
+            hi = v[1] if op == "between" else (v if op in ("<=", "<") else None)
+            return _prune_keys_range(chunks, col, lo, hi)
+        return None
+
+    pruned = chunks_df
+    conds = []
+    for w in where:
+        terms = _terms_of(w)
+        if len(w) == 2 and w[0] == "or":
+            cond = None
+            for col, op, v in terms:
+                r = _residual(col, op, v)
+                cond = r if cond is None else (cond | r)
+            conds.append(cond)
+            # OR prune = union of the branches' survivors: a group is
+            # dropped only when EVERY branch proves it empty. One
+            # residual-only branch keeps everything — skip the pass.
+            # The union is over the branches' KEY frames (one row per
+            # surviving group, per-branch distinct), never over nested
+            # semi-joins of the chunk table — unions of self-derived
+            # semi-joins mis-resolve in Spark's deduplication and can
+            # silently drop one side (pinned in tests/test_scan.py).
+            branch_keys = [_prune_keys(pruned, col, op, v)
+                           for col, op, v in terms]
+            if all(k is not None for k in branch_keys):
+                keep = branch_keys[0].distinct()
+                for k in branch_keys[1:]:
+                    keep = keep.unionByName(k.distinct())
+                pruned = pruned.join(
+                    F.broadcast(keep.distinct()), ["part_id", "chunk_id"],
+                    "left_semi",
+                )
+            continue
+        col, op, v = terms[0]
+        conds.append(_residual(col, op, v))
+        k = _prune_keys(pruned, col, op, v)
+        if k is not None:
+            pruned = pruned.join(
+                F.broadcast(k), ["part_id", "chunk_id"], "left_semi"
+            )
     out = decode_table(pruned, sub, part_col=part_col)
     for c in conds:
         out = out.where(c)

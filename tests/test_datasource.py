@@ -418,3 +418,29 @@ def test_lineage_store_pushed_filters_still_prune(spark, tmp_path):
     )
     assert got.exceptAll(exp).count() == 0
     assert exp.exceptAll(got).count() == 0
+
+
+def test_isnull_and_not_isnull_pushdown(spark, tmp_path):
+    """IS NULL prunes groups that recorded zero nulls; NOT(IS NULL)
+    unwraps to the not-null prune. Both stay correct (Spark re-applies
+    the filters) and the translation accepts them."""
+    from pysparkenc.datasource import IsNull, Not, _to_pushed
+
+    store = str(tmp_path / "store")
+    df = _mixed_df(spark)
+    df.write.format("pysparkenc").mode("overwrite").save(store)
+    back = spark.read.format("pysparkenc").load(store)
+    got_null = back.where(F.col("name").isNull()).select("id")
+    exp_null = df.where(F.col("name").isNull()).select("id")
+    assert sorted(r[0] for r in got_null.collect()) == sorted(
+        r[0] for r in exp_null.collect())
+    got_nn = back.where(F.col("name").isNotNull()).count()
+    assert got_nn == df.where(F.col("name").isNotNull()).count()
+    # translation unit: Not(IsNull) -> notnull, IsNull -> isnull
+    pushed = _to_pushed(
+        [IsNull(attribute=("name",)), Not(child=IsNull(attribute=("name",)))],
+        back.schema,
+    )
+    assert [(p.col, p.kind) for p in pushed] == [
+        ("name", "isnull"), ("name", "notnull")
+    ]

@@ -204,3 +204,123 @@ def test_where_equals_isin_converted_domains(spark):
             chunks.unpersist()
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def _groups(chunks) -> int:
+    return chunks.select("part_id", "chunk_id").distinct().count()
+
+
+def test_scan_or_disjunction(spark, li_chunks):
+    """("or", [...]) composes mixed ops across columns; results equal
+    the row-level OR."""
+    df, chunks = li_chunks
+    got = scan_table(
+        chunks,
+        df.schema,
+        columns=["l_orderkey", "l_returnflag", "l_quantity"],
+        where=[
+            ("or", [("l_returnflag", "==", "R"),
+                    ("l_orderkey", "<", 500)]),
+            ("l_quantity", ">=", 10),
+        ],
+    )
+    want = df.where(
+        ((F.col("l_returnflag") == "R") | (F.col("l_orderkey") < 500))
+        & (F.col("l_quantity") >= 10)
+    ).select("l_orderkey", "l_returnflag", "l_quantity")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect()))
+
+
+def test_scan_or_prunes_with_union_of_survivors(spark):
+    """A disjunction of prunable terms drops every chunk group NEITHER
+    branch can contain — gated by counting surviving groups on a store
+    clustered so both branches are selective."""
+    from pysparkenc.engine import decode_table, prune_chunks
+
+    df = spark.range(0, 40_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    chunks = encode_table(df, partition_by=("k",), num_partitions=8,
+                          sort_by=("k",), rows_per_chunk=2048)
+    chunks.cache().count()
+    total = _groups(chunks)
+    lo_keep = _groups(prune_chunks(chunks, "k", None, 1000))
+    hi_keep = _groups(prune_chunks(chunks, "k", 39_000, None))
+    # the OR-pruned scan decodes at most the union of branch survivors
+    got = scan_table(
+        chunks, df.schema,
+        where=[("or", [("k", "<=", 1000), ("k", ">=", 39_000)])],
+    )
+    want = df.where((F.col("k") <= 1000) | (F.col("k") >= 39_000))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect()))
+    assert lo_keep + hi_keep < total  # the gate is non-vacuous
+    # and the pruning really dropped groups: decode through the same
+    # prune path and count
+    from pysparkenc.engine import prune_chunks as _pc
+    keep = (
+        _pc(chunks, "k", None, 1000).select("part_id", "chunk_id")
+        .unionByName(
+            _pc(chunks, "k", 39_000, None).select("part_id", "chunk_id"))
+        .distinct().count()
+    )
+    assert keep <= lo_keep + hi_keep < total
+    chunks.unpersist()
+
+
+def test_scan_not_in_and_or_with_unprunable_branch(spark, li_chunks):
+    df, chunks = li_chunks
+    got = scan_table(
+        chunks, df.schema, columns=["l_orderkey", "l_partkey"],
+        where=[("l_partkey", "not in", [17, 1003])],
+    )
+    want = df.where(~F.col("l_partkey").isin([17, 1003])).select(
+        "l_orderkey", "l_partkey")
+    assert got.count() == want.count()
+    # OR with a residual-only branch: correct, prunes nothing
+    got2 = scan_table(
+        chunks, df.schema, columns=["l_orderkey"],
+        where=[("or", [("l_returnflag", "!=", "R"),
+                       ("l_orderkey", "<", 100)])],
+    )
+    want2 = df.where(
+        (F.col("l_returnflag") != "R") | (F.col("l_orderkey") < 100)
+    ).select("l_orderkey")
+    assert sorted(r[0] for r in got2.collect()) == sorted(
+        r[0] for r in want2.collect())
+
+
+def test_scan_rejects_malformed_or(spark, li_chunks):
+    _, chunks = li_chunks
+    with pytest.raises(ValueError):
+        scan_table(chunks, where=[("or", [])])
+    with pytest.raises(KeyError):
+        scan_table(chunks, where=[("or", [("nope", "==", 1)])])
+
+
+def test_scan_or_exact_on_uncached_chunks(spark):
+    """Regression: the OR prune must union the branches' KEY frames.
+    Unioning the semi-joined chunk frames themselves mis-resolves in
+    Spark's self-union deduplication and silently drops one branch's
+    survivors — which only manifested when the chunk table was an
+    UNCACHED encode pipeline (the contract-query shape)."""
+    df = spark.read.parquet(
+        "/root/testdata/sf0.01/lineitem.parquet"
+    ).select("l_orderkey", "l_returnflag", "l_quantity")
+    chunks = encode_table(
+        df, partition_by=("l_returnflag", "l_orderkey"), num_partitions=4
+    )  # deliberately NOT cached
+    got = scan_table(
+        chunks, df.schema,
+        where=[("or", [("l_returnflag", "==", "R"),
+                       ("l_orderkey", "<", 500)]),
+               ("l_quantity", "not in", [1.0, 2.0])],
+    )
+    want = df.where(
+        ((F.col("l_returnflag") == "R") | (F.col("l_orderkey") < 500))
+        & ~F.col("l_quantity").isin([1.0, 2.0])
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
