@@ -474,14 +474,23 @@ def q_roundtrip_nullable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_roundtrip_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema evolution on decode (the parquet/iceberg reader contract):
-    an 'old' encode job writes even-keyed customers WITHOUT the evolved
-    columns; a second job writes the odd-keyed rows with two extra
-    columns; the merged chunk store decodes under the evolved schema,
-    old groups reading the new columns as typed nulls (they ride on a
-    payload-free anchor chunk for their row count). The oracle mirrors
-    the even/odd split with CASE, so every null position and every
-    evolved value is hash-checked."""
+    """Schema evolution through the WRITE path (the iceberg
+    add-column contract, r5: previously this merged chunk tables by
+    hand): run 1 of a lineage store encodes even-keyed customers
+    WITHOUT the evolved columns; run 2 appends the odd-keyed rows with
+    two extra columns through the same ``encode_with_lineage`` (which
+    validates shared-column types and records per-run schemas);
+    ``read_store`` then decodes BOTH runs under the evolved union
+    schema, old groups reading the new columns as typed nulls (they
+    ride on a payload-free anchor chunk for their row count). The
+    oracle mirrors the even/odd split with CASE, so every null position
+    and every evolved value is hash-checked."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pysparkenc.lineage import encode_with_lineage, read_store
+
     cust = _read(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", F.col("c_nationkey").cast("int").alias("nat")
     )
@@ -493,12 +502,12 @@ def q_roundtrip_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tag", F.concat(F.lit("t"), F.col("c_custkey").cast("string"))
         )
     )
-    c_old = encode_table(old, partition_by=None)
-    c_new = encode_table(new, partition_by=None).withColumn(
-        "part_id", F.col("part_id") + 100_000
-    )
-    merged = c_old.unionByName(c_new, allowMissingColumns=True)
-    return decode_table(merged, new.schema)
+    root = tempfile.mkdtemp(prefix="pysparkenc_evo_", dir=_fast_tmp())
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    store = root + "/store"
+    encode_with_lineage(old, store, num_partitions=2)
+    encode_with_lineage(new, store, num_partitions=2, resume=False)
+    return read_store(spark, store, new.schema)
 
 
 def q_roundtrip_bools(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -911,7 +920,8 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all("text", F.lit(tx.BPE_PATTERN), F.lit(0)),
             lambda w: tx.portable_hash31(w),
         ).alias("tokens"),
-    )
+    ).persist()  # auto-shard's pre-count reuses the tokenization instead
+    # of running the regexp twice (the r4 pack_sequences regression)
     packed = pack_sequences(
         toks, 64, order_col="doc_id", group_cols=("source",),
         shards="auto", tokens_per_shard=512,
@@ -956,7 +966,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all("text", F.lit(tx.BPE_PATTERN), F.lit(0)),
             lambda w: tx.portable_hash31(w),
         ).alias("tokens"),
-    )
+    ).persist()  # reused by the auto-shard pre-count (see q_pack_sequences)
     packed = pack_sequences(toks, 128, order_col="doc_id",
                             group_cols=("source",))
     return packed.groupBy("source").agg(

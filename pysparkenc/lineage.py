@@ -67,6 +67,71 @@ def _deletes_dir(path: str) -> str:
     return f"{path}/deletes"
 
 
+def _schemas_dir(path: str) -> str:
+    return f"{path}/schemas"
+
+
+def _record_run_schema(path: str, run_id: int, schema) -> None:
+    """Write the run's logical schema as ``schemas/run-<id>.json`` —
+    the per-run schema record schema evolution audits need ("which run
+    introduced column X?"). Informational metadata: readers derive the
+    live union schema from chunk metadata, so a missing record never
+    blocks a read."""
+    import json
+    import os
+
+    os.makedirs(_schemas_dir(path), exist_ok=True)
+    with open(f"{_schemas_dir(path)}/run-{int(run_id)}.json", "w") as fh:
+        json.dump(schema.jsonValue(), fh)
+
+
+def run_schemas(path: str) -> dict[int, "StructType"]:
+    """Per-run schemas recorded by :func:`encode_with_lineage` /
+    :func:`compact_store`, keyed by run id."""
+    import json
+    import os
+
+    d = _schemas_dir(path)
+    if not os.path.isdir(d):
+        return {}
+    out: dict[int, StructType] = {}
+    for f in os.listdir(d):
+        if f.startswith("run-") and f.endswith(".json"):
+            with open(os.path.join(d, f)) as fh:
+                out[int(f[4:-5])] = StructType.fromJson(json.load(fh))
+    return out
+
+
+def _check_schema_evolution(spark: SparkSession, path: str, df: DataFrame):
+    """Appending a run may ADD or OMIT columns (the union decodes with
+    typed nulls via the anchor rule in ``decode_table``), but a shared
+    column must keep its logical type — a silent type change would make
+    the union schema ambiguous and decode one run's chunks under the
+    wrong kernel. Driver-side, metadata-only, eager (same contract as
+    the delete key validation)."""
+    from .engine import _logical_of, output_schema_of_chunks
+
+    try:
+        committed = read_committed_chunks(spark, path)
+        has_data = bool(committed.limit(1).count())
+    except Exception:
+        return
+    if not has_data:
+        return
+    store = {f.name: _logical_of(f)
+             for f in output_schema_of_chunks(committed)}
+    for f in df.schema.fields:
+        old = store.get(f.name)
+        new = _logical_of(f)
+        if old is not None and old != new:
+            raise TypeError(
+                f"schema evolution cannot change a column's type: "
+                f"{f.name} is {old} in the store but {new} in this "
+                "append. Add a NEW column (old groups decode it as "
+                "nulls) or compact under an explicit cast first."
+            )
+
+
 def read_lineage(spark: SparkSession, path: str) -> DataFrame:
     """Lineage rows under ``path``, read with the EXPLICIT schema (never
     inferred): a directory written before a schema extension (e.g. the
@@ -261,6 +326,7 @@ def encode_with_lineage(
                 "compression_ratio": 1.0,
                 "replayed_batch": True,
             }
+    _check_schema_evolution(spark, path, df)
     run_id = _next_run_id(spark, path)
     chunks = encode_table(
         df, partition_by=partition_by, num_partitions=num_partitions,
@@ -365,6 +431,7 @@ def encode_with_lineage(
             "which will commit under a fresh run id."
         )
 
+    _record_run_schema(path, run_id, df.schema)
     agg = lin.agg(
         F.count(F.lit(1)).alias("parts"),
         F.sum("n_rows").alias("rows"),
@@ -994,6 +1061,7 @@ def compact_store(
     lin.unionByName(markers).coalesce(1).write.mode("append").parquet(
         _lineage_dir(path)
     )
+    _record_run_schema(path, run_id, df.schema)
     return {
         "run_id": run_id,
         "partitions": int(lin.count()),

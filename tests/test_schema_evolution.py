@@ -108,3 +108,66 @@ def test_evolved_struct_subtree_reads_null(spark):
     assert out.count() == 150
     assert out.where(F.col("meta").isNull()).count() == 100
     assert out.where(F.col("k") == 120).first().meta.a == 120
+
+
+# ---------------------------------------------------------------------------
+# WRITE-side evolution through encode_with_lineage (r5)
+# ---------------------------------------------------------------------------
+
+def test_lineage_append_adds_column_and_records_schemas(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pysparkenc.lineage import (
+        encode_with_lineage,
+        read_store,
+        run_schemas,
+    )
+    from pysparkenc.synth import make_tokens_table
+
+    store = str(tmp_path / "store")
+    df = make_tokens_table(spark, 60, seed=31)
+    old = df.where(F.col("n_tok") % 2 == 0)
+    new = df.where(F.col("n_tok") % 2 == 1).withColumn(
+        "quality", (F.col("n_tok") * 2).cast("int")
+    )
+    encode_with_lineage(old, store, num_partitions=2)
+    encode_with_lineage(new, store, num_partitions=2, resume=False)
+    # union schema derived from chunk metadata; old rows carry nulls
+    got = read_store(spark, store)
+    assert "quality" in got.columns
+    assert got.count() == 60
+    assert got.where(F.col("quality").isNull()).count() == old.count()
+    exp = old.withColumn("quality", F.lit(None).cast("int")).unionByName(new)
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+    # per-run schema records
+    rs = run_schemas(store)
+    assert set(rs) == {1, 2}
+    assert "quality" not in [f.name for f in rs[1].fields]
+    assert "quality" in [f.name for f in rs[2].fields]
+    # a type CHANGE on a shared column is refused before any write
+    bad = df.withColumn("n_tok", F.col("n_tok").cast("double"))
+    with pytest.raises(TypeError, match="cannot change"):
+        encode_with_lineage(bad, store, num_partitions=1, resume=False)
+
+
+def test_lineage_append_may_omit_columns(spark, tmp_path):
+    """A later run may also DROP a column: its groups decode the
+    missing column as typed nulls under the union schema, same anchor
+    rule as adding."""
+    from pyspark.sql import functions as F
+
+    from pysparkenc.lineage import encode_with_lineage, read_store
+    from pysparkenc.synth import make_tokens_table
+
+    store = str(tmp_path / "store")
+    df = make_tokens_table(spark, 40, seed=33)
+    encode_with_lineage(df, store, num_partitions=2)
+    narrow = make_tokens_table(spark, 10, seed=34).withColumn(
+        "doc_id", F.concat(F.lit("n-"), F.col("doc_id"))
+    ).drop("source")
+    encode_with_lineage(narrow, store, num_partitions=1, resume=False)
+    got = read_store(spark, store)
+    assert got.count() == 50
+    assert got.where(F.col("source").isNull()).count() == 10
