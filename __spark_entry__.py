@@ -1279,7 +1279,7 @@ def q_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table hyperplane LSH (16 tables x 16 buckets): recall@5 vs
-    cosine_topk measured 0.86, floor pinned >= 0.75 in
+    cosine_topk measured 0.86, floor pinned >= 0.80 in
     tests/test_ann_recall.py (8 tables measured 0.68 — the table count
     is the standard LSH amplification dial, near-free here because the
     bucket ids for all tables come from one matmul per Arrow batch)."""
@@ -1294,7 +1294,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the centroid-bucketed sibling of the LSH path — corpus vectors land
     in one inverted-file cell each, queries probe their 12 nearest cells,
     scoring is cell-local. recall@5 vs cosine_topk measured 0.87, floor
-    pinned >= 0.75 in tests/test_ann_recall.py."""
+    pinned >= 0.80 in tests/test_ann_recall.py."""
     emb = _read(spark, sf_dir, "embeddings")
     return sim.ann_ivf_topk(
         emb, emb.where(F.col("vec_id") < 10), k=5, n_centroids=32, n_probe=12

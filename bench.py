@@ -212,6 +212,23 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     enc = encode_throughput(spark, 100_000, warmup=False, trials=3)
     timings["flagship_encode_100k_docs"] = enc["wall_sec"]
 
+    spark.stop()
+
+    # isolated re-timings (VERDICT r4 ask #8): the suite runs ~50 queries
+    # back-to-back in one session on a shared host, so per-query deltas
+    # carry contention + session-history noise. Re-time the most expensive
+    # queries each in its OWN fresh subprocess/JVM (warmup excluded the
+    # same way the suite excludes it) so round-over-round comparisons of
+    # the heavy hitters have a contention-isolated second opinion.
+    isolated: dict[str, float] = {}
+    if os.environ.get("BENCH_ISOLATED", "1") != "0":
+        top = sorted(timings.items(), key=lambda kv: -kv[1])
+        top = [n for n, _ in top if n != "flagship_encode_100k_docs"][:5]
+        for name in top:
+            sec = _isolated_subprocess(name, sf_dir, used)
+            if sec is not None:
+                isolated[name] = sec
+
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
     total = round(sum(timings.values()), 3)
@@ -231,9 +248,55 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "flagship_tokens": enc["tokens"],
         "tokens_per_sec": enc["tokens_per_sec"],
         "compression_ratio": enc["compression_ratio"],
+        "isolated": isolated,
+        "isolated_note": "top suite queries re-timed in one fresh "
+        "subprocess session each (best-of-2, Python-worker warmup excluded "
+        "like the suite). Cold-JVM JIT makes these systematically slower "
+        "than the same query inside the 50-query-warmed suite; compare "
+        "isolated-vs-isolated across rounds, never isolated-vs-suite",
     }
-    spark.stop()
     return result
+
+
+def _isolated_subprocess(name: str, sf_dir: str, cpus: int) -> float | None:
+    """Run one named query in a fresh python/JVM and return its best-of-2
+    wall-clock, or None if the subprocess fails (never fail the bench)."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"),
+             "--isolated-query", name, "--sf-dir", sf_dir,
+             "--cpus", str(cpus)],
+            capture_output=True, text=True, timeout=900, cwd=REPO,
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        return float(json.loads(line)["sec"])
+    except Exception:  # pragma: no cover - subprocess flake
+        return None
+
+
+def run_isolated_query(name: str, sf_dir: str, cpus: int) -> dict:
+    """Worker for the isolated re-timings: fresh session, same warmup
+    discipline as the suite (Python worker pool + codegen spun up on two
+    cheap queries first), then best-of-2 on the target query alone."""
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    fn = qs[name]
+    spark = make_spark(cpus)
+    try:
+        force(qs["roundtrip_dims"](spark, sf_dir))
+        force(qs["token_count"](spark, sf_dir))
+        spark.catalog.clearCache()
+        wall = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            force(fn(spark, sf_dir))
+            wall = min(wall, time.monotonic() - t0)
+            spark.catalog.clearCache()
+        return {"query": name, "sec": round(wall, 3), "cpus": cpus}
+    finally:
+        spark.stop()
 
 
 # ---------------------------------------------------------------------------
@@ -1066,12 +1129,15 @@ def main() -> None:
     ap.add_argument("--scaling-rounds", type=int, default=3)
     ap.add_argument("--rows", type=int, default=200_000)
     ap.add_argument("--worker-cpus", type=int, default=None)
+    ap.add_argument("--isolated-query", default=None)
     ap.add_argument("--input-path", default=None)
     ap.add_argument("--sf-dir", default=SF_DIR)
     ap.add_argument("--cpus", type=int, default=CPUS)
     args = ap.parse_args()
 
-    if args.worker_cpus is not None:
+    if args.isolated_query is not None:
+        out = run_isolated_query(args.isolated_query, args.sf_dir, args.cpus)
+    elif args.worker_cpus is not None:
         out = run_worker(args.worker_cpus, args.rows, args.input_path)
     elif args.scaling:
         out = run_scaling(args.rows, rounds=args.scaling_rounds)
