@@ -313,15 +313,32 @@ def cmd_compact(args: argparse.Namespace) -> int:
     from pysparkenc.lineage import compact_store, expire_runs
 
     spark = _session("pysparkenc-compact")
+    runs = None
+    if args.runs:
+        runs = tuple(int(r) for r in args.runs.split(","))
     out = compact_store(
         spark, args.input,
         partition_by=_parse_partition_by(args.partition_by),
         num_partitions=args.num_partitions,
         target_chunk_bytes=args.target_chunk_bytes,
         sort_by=_parse_partition_by(args.sort_by),
+        runs=runs,
+        max_run_bytes=args.max_run_bytes,
     )
     if args.expire:
         out["expired"] = expire_runs(spark, args.input)["expired_runs"]
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_vacuum(args: argparse.Namespace) -> int:
+    """Reclaim orphaned run directories (a writer killed between its
+    data write and its lineage commit) and stale _temporary job dirs.
+    Readers never see these; vacuum frees the bytes."""
+    from pysparkenc.lineage import vacuum_store
+
+    spark = _session("pysparkenc-vacuum")
+    out = vacuum_store(spark, args.input, grace_sec=args.grace_sec)
     print(json.dumps(out))
     return 0
 
@@ -448,7 +465,20 @@ def main(argv: list[str] | None = None) -> int:
     cmp_.add_argument("--expire", action="store_true",
                       help="also delete superseded runs' chunk files "
                            "(drops time travel to them)")
+    cmp_.add_argument("--runs", default=None,
+                      help="selective: comma-separated run ids to rewrite "
+                           "(untouched runs are never read)")
+    cmp_.add_argument("--max-run-bytes", type=int, default=None,
+                      help="selective: rewrite every live run whose "
+                           "committed encoded bytes are below N")
     cmp_.set_defaults(fn=cmd_compact)
+
+    vac = sub.add_parser("vacuum")
+    vac.add_argument("--input", required=True, help="encoded store path")
+    vac.add_argument("--grace-sec", type=float, default=86400.0,
+                     help="keep directories whose newest file is younger "
+                          "than this (protects in-flight writers)")
+    vac.set_defaults(fn=cmd_vacuum)
 
     args = ap.parse_args(argv)
     if getattr(args, "visible", False) and not getattr(args, "distinct", None):

@@ -264,10 +264,44 @@ def snapshots(spark: SparkSession, path: str) -> DataFrame:
     return base.unionByName(dels).orderBy(F.col("run_id").desc())
 
 
-def _next_run_id(spark: SparkSession, path: str) -> int:
+def _on_disk_run_ids(path: str) -> set[int]:
+    """Run ids with ANY files on disk — chunk dirs or delete-key dirs,
+    committed or not. Local-filesystem layout (object stores would route
+    the listing through their client, same as :func:`expire_runs`)."""
+    import glob
+    import re as _re
+
+    ids: set[int] = set()
+    for base in (_chunks_dir(path), _deletes_dir(path)):
+        for d in glob.glob(f"{base}/run_id=*"):
+            m = _re.search(r"run_id=(\d+)$", d)
+            if m:
+                ids.add(int(m.group(1)))
+    return ids
+
+
+def _max_committed_run(spark: SparkSession, path: str) -> int:
+    """Highest run id with a lineage row (0 on an empty store)."""
     lin = read_lineage(spark, path)
     row = lin.agg(F.max("run_id").alias("m")).collect()[0]
-    return int(row["m"] or 0) + 1
+    return int(row["m"] or 0)
+
+
+def _next_run_id(spark: SparkSession, path: str) -> int:
+    """Allocate the next run id: one past the max run id visible in the
+    lineage OR on disk. The on-disk scan closes the crash window between
+    a run's data write and its lineage append: a writer killed there
+    leaves committed-invisible orphan files under ``run_id=<r>``, and a
+    retry that REUSED ``r`` would interleave its files with the orphans —
+    decode survives (pages key last-wins per column) but the run's
+    lineage metrics and every footer-metadata aggregate would double.
+    Skipping disk-occupied ids makes orphans permanently invisible
+    instead; :func:`vacuum_store` reclaims them."""
+    hi = _max_committed_run(spark, path)
+    disk = _on_disk_run_ids(path)
+    if disk:
+        hi = max(hi, max(disk))
+    return hi + 1
 
 
 def encode_with_lineage(
@@ -509,10 +543,10 @@ def delete_rows(
             )
     run_id = _next_run_id(spark, path)
     keys = keys_df.select(*key_cols).distinct()
-    # overwrite, not append: a retry after a crashed attempt reuses the
-    # same (uncommitted) run_id, and must REPLACE the orphan key files —
-    # appending would silently commit the abandoned list alongside the
-    # new one
+    # overwrite is belt-and-braces: _next_run_id never hands out an id
+    # with files already on disk (a crashed attempt's orphan key files
+    # keep their id forever; vacuum_store reclaims them), so this dir is
+    # always fresh — overwrite guards the invariant anyway
     keys.write.mode("overwrite").parquet(
         f"{_deletes_dir(path)}/run_id={run_id}"
     )
@@ -918,8 +952,10 @@ def compact_store(
         # later delete retracted (the rewritten rows get a run_id newer
         # than the delete, so its sequencing no longer applies) and fork
         # history. as_of_run is accepted only as an idempotence fence:
-        # it may name the latest commit, nothing older.
-        latest = _next_run_id(spark, path) - 1
+        # it may name the latest commit, nothing older. Max COMMITTED
+        # run, not _next_run_id - 1: uncommitted orphan dirs (crashed
+        # writers) occupy higher ids on disk without being commits.
+        latest = _max_committed_run(spark, path)
         if int(as_of_run) < latest:
             raise ValueError(
                 f"compact_store(as_of_run={as_of_run}) is older than the "
@@ -1111,3 +1147,95 @@ def expire_runs(spark: SparkSession, path: str) -> dict:
     for r in dead_dels:
         shutil.rmtree(f"{_deletes_dir(path)}/run_id={r}", ignore_errors=True)
     return {"expired_runs": removed, "expired_delete_runs": dead_dels}
+
+
+def vacuum_store(
+    spark: SparkSession, path: str, *, grace_sec: float = 86400.0
+) -> dict:
+    """Reclaim ORPHANED files (Iceberg ``remove_orphan_files``): run
+    directories — chunk files or delete-key files — with no lineage row
+    at all, the debris of a writer killed between its data write and its
+    lineage append. The commit protocol already makes them invisible to
+    every reader (and :func:`_next_run_id` never reuses their ids), so
+    this is purely a storage reclaim; query results are identical before
+    and after, which the test pins row-for-row.
+
+    ``grace_sec`` protects an IN-FLIGHT writer that simply hasn't
+    committed yet: a directory whose newest file is younger than the
+    grace window is kept (Iceberg's ``older_than`` contract; default one
+    day). Stale Spark ``_temporary`` job-attempt dirs in the same
+    layout, left by killed write jobs, are removed under the same age
+    rule. Complements :func:`expire_runs`, which reclaims SUPERSEDED
+    *committed* runs — together they bound a maintained store's disk
+    footprint to its live data plus the time-travel window.
+
+    Local-filesystem stores only (this sandbox's layout); object stores
+    would route listing + deletes through their own client."""
+    import os
+    import shutil
+
+    now = time.time()
+    committed = {
+        int(r["run_id"])
+        for r in read_lineage(spark, path).select("run_id").distinct()
+        .collect()
+    }
+
+    def newest_mtime(d: str) -> float:
+        newest = os.path.getmtime(d)
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                try:
+                    newest = max(newest, os.path.getmtime(
+                        os.path.join(root, f)))
+                except OSError:  # pragma: no cover - racing writer
+                    pass
+        return newest
+
+    def dir_bytes(d: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:  # pragma: no cover - racing writer
+                    pass
+        return total
+
+    vacuumed: dict[str, list[int]] = {"chunks": [], "deletes": []}
+    removed_tmp = 0
+    reclaimed = 0
+    for kind, base in (
+        ("chunks", _chunks_dir(path)), ("deletes", _deletes_dir(path))
+    ):
+        if not os.path.isdir(base):
+            continue
+        for name in sorted(os.listdir(base)):
+            d = os.path.join(base, name)
+            if not os.path.isdir(d):
+                continue
+            if name.startswith("run_id="):
+                try:
+                    rid = int(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if rid in committed:
+                    continue
+            elif name == "_temporary":
+                pass  # stale job-attempt debris, age-gated below
+            else:
+                continue
+            if now - newest_mtime(d) < grace_sec:
+                continue
+            reclaimed += dir_bytes(d)
+            shutil.rmtree(d, ignore_errors=True)
+            if name == "_temporary":
+                removed_tmp += 1
+            else:
+                vacuumed[kind].append(rid)
+    return {
+        "vacuumed_runs": vacuumed["chunks"],
+        "vacuumed_delete_runs": vacuumed["deletes"],
+        "removed_tmp_dirs": removed_tmp,
+        "bytes_reclaimed": reclaimed,
+    }

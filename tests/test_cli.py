@@ -188,6 +188,31 @@ def test_cli_compact_expire(spark, tmp_path, capsys):
     assert decode_table(read_committed_chunks(spark, path)).count() == n_before
 
 
+def test_cli_vacuum(spark, tmp_path, capsys):
+    """pysparkenc vacuum reclaims an orphan run dir through the CLI."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from pysparkenc.cli import main
+    from pysparkenc.engine import encode_table
+    from pysparkenc.lineage import encode_with_lineage, read_store
+    from pysparkenc.synth import make_tokens_table
+
+    path = str(tmp_path / "store")
+    df = make_tokens_table(spark, 120, seed=55)
+    encode_with_lineage(df, path, num_partitions=2)
+    # crash debris: chunk files under run_id=5 with no lineage commit
+    (encode_table(df.limit(30), num_partitions=1)
+     .withColumn("run_id", F.lit(5)).write.mode("append")
+     .partitionBy("run_id").parquet(path + "/chunks"))
+    capsys.readouterr()
+    assert main(["vacuum", "--input", path, "--grace-sec", "0"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["vacuumed_runs"] == [5] and out["bytes_reclaimed"] > 0
+    assert read_store(spark, path).count() == 120
+
+
 def test_decode_where_predicates(spark, tmp_path, capsys):
     """decode --where routes through scan_table: pruned, filtered, projected."""
     src = str(tmp_path / "src")

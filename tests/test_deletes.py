@@ -220,9 +220,11 @@ def test_compact_refuses_stale_snapshot(spark, tmp_path):
     assert read_store(spark, store).count() == 37
 
 
-def test_delete_retry_replaces_orphan_keys(spark, tmp_path):
-    """A delete retry after a crash (same uncommitted run_id) must
-    REPLACE the orphan key files, not union them in."""
+def test_delete_retry_never_applies_orphan_keys(spark, tmp_path):
+    """A delete retry after a crash commits under a FRESH run id (the
+    crashed attempt's id is occupied on disk and never reused), and the
+    abandoned key list stays invisible — it must not union into, or
+    replace, the corrected delete."""
     store = str(tmp_path / "store")
     df = make_tokens_table(spark, 40, seed=37)
     encode_with_lineage(df, store, num_partitions=2)
@@ -235,7 +237,7 @@ def test_delete_retry_replaces_orphan_keys(spark, tmp_path):
         spark, store,
         spark.createDataFrame([(i,) for i in ids[30:32]], "doc_id string"),
     )
-    assert out["run_id"] == 2 and out["keys"] == 2
+    assert out["run_id"] == 3 and out["keys"] == 2  # allocated PAST the orphan
     got = read_store(spark, store)
     assert got.count() == 38
     assert ids[0] in _ids(got)  # the abandoned list did NOT apply
