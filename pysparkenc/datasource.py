@@ -5,6 +5,15 @@ API, Spark 4):
     df.write.format("pysparkenc").mode("overwrite").save(path)
     spark.read.format("pysparkenc").load(path).where("id > 100")
 
+On a lineage-managed store (one written by
+:func:`pysparkenc.lineage.encode_with_lineage`), BOTH directions speak
+the commit protocol: reads plan from committed runs and apply delete
+sets (never orphan chunks, never a double-read of a compacted store),
+and ``mode("append")`` writes commit a real lineage run — fresh run id,
+chunks under ``run_id=<r>/``, atomic lineage append — indistinguishable
+from an ``encode_with_lineage`` run. ``mode("overwrite")`` and stream
+writes refuse with a typed error naming the supported path.
+
 Store layout (plain files, any fs path the driver and executors share)::
 
     <path>/_pysparkenc_schema.json   logical Spark schema + format version
@@ -650,11 +659,77 @@ class ChunkStoreReader(DataSourceReader):
 @dataclass
 class _FileCommit(WriterCommitMessage):
     files: tuple = ()
+    # lineage mode: (part_id, n_rows, n_values, plain_bytes, enc_bytes,
+    # n_chunks, wall_sec) for the task's lineage row
+    lineage_row: tuple | None = None
+
+
+def _lineage_max_run(path: str) -> int:
+    """Highest run id in the lineage records (0 when empty) — pure
+    pyarrow, driver-side, so the writer can allocate without a
+    SparkSession round-trip."""
+    hi = 0
+    for f in _list_parquet(_lineage_dir(path)):
+        col = pq.read_table(f, columns=["run_id"]).column("run_id")
+        if len(col):
+            hi = max(hi, pc.max(col).as_py() or 0)
+    return int(hi)
+
+
+def _lineage_done_parts(path: str, run_id: int) -> tuple[list[int], int]:
+    """(distinct done part ids, done row count) for ``run_id`` — the
+    driver-side collision probe the post-commit single-writer check
+    reads (mirrors :func:`pysparkenc.lineage.encode_with_lineage`)."""
+    parts: list[int] = []
+    n = 0
+    for f in _list_parquet(_lineage_dir(path)):
+        t = pq.read_table(f, columns=["run_id", "part_id", "status"])
+        mask = pc.and_(
+            pc.equal(t.column("run_id"), run_id),
+            pc.equal(t.column("status"), "done"),
+        )
+        sel = t.filter(mask)
+        n += sel.num_rows
+        parts.extend(int(p) for p in sel.column("part_id").to_pylist())
+    return sorted(set(parts)), n
+
+
+_LINEAGE_PA_SCHEMA = pa.schema(
+    [
+        ("run_id", pa.int64()),
+        ("batch_id", pa.int64()),
+        ("part_id", pa.int64()),
+        ("n_rows", pa.int64()),
+        ("n_values", pa.int64()),
+        ("plain_bytes", pa.int64()),
+        ("enc_bytes", pa.int64()),
+        ("n_chunks", pa.int64()),
+        ("wall_sec", pa.float64()),
+        ("status", pa.string()),
+    ]
+)
+
+
+def _append_lineage_rows(path: str, rows: list[tuple]) -> None:
+    """Atomic single-file lineage append: write to a dot-prefixed temp
+    name (invisible to parquet dir readers) and ``os.replace`` onto the
+    final name — the same all-or-nothing commit-record contract as
+    ``encode_with_lineage``'s ``coalesce(1)`` append."""
+    t = pa.Table.from_pylist(
+        [dict(zip(_LINEAGE_PA_SCHEMA.names, r)) for r in rows],
+        schema=_LINEAGE_PA_SCHEMA,
+    )
+    d = _lineage_dir(path)
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+    pq.write_table(t, tmp)
+    os.replace(
+        tmp, os.path.join(d, f"part-dsw-{uuid.uuid4().hex}.parquet")
+    )
 
 
 class ChunkStoreWriter(DataSourceArrowWriter):
     def __init__(self, path: str, schema: StructType, options: dict,
-                 overwrite: bool):
+                 overwrite: bool, lineage_run_id: int | None = None):
         self.path = path
         self.fields = schema.fields
         self.schema_json = schema.jsonValue()
@@ -673,8 +748,16 @@ class ChunkStoreWriter(DataSourceArrowWriter):
         self.bloom_for: dict[str, float] = {
             c.strip(): fpp for c in bloom_opt.split(",") if c.strip()
         }
+        # lineage mode (append to a lineage-managed store): the run id
+        # was allocated driver-side by ChunkStoreDataSource.writer(),
+        # which also claimed chunks/run_id=<r> on disk so a crashed job
+        # can never have its id reused (the never-reuse invariant
+        # _next_run_id enforces; vacuum_store reclaims the debris)
+        self.lineage_run_id = lineage_run_id
         # captured at job start (driver): the files an overwrite replaces
-        self.previous_files = tuple(_list_chunk_files(path))
+        self.previous_files = (
+            tuple(_list_chunk_files(path)) if lineage_run_id is None else ()
+        )
         self.job_millis = int(time.time() * 1000)
         for f in schema.fields:
             engine._logical_of(f)  # fail on unsupported types driver-side
@@ -713,11 +796,38 @@ class ChunkStoreWriter(DataSourceArrowWriter):
     def write(self, iterator: Iterator[pa.RecordBatch]) -> _FileCommit:
         from pyspark import TaskContext
 
+        t0 = time.time()
         table = self._encode_iterator(iterator)
         if table is None:
             return _FileCommit(())
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else 0
+        if self.lineage_run_id is not None:
+            # stage-then-publish: the task writes under _staging/ and
+            # only commit() renames into the run dir, so a task retried
+            # mid-write can never leave a half-written or duplicate file
+            # inside a run that then COMMITS (the flat layout tolerates
+            # list-time debris; a committed lineage run must not)
+            staging = os.path.join(self.path, "_staging")
+            os.makedirs(staging, exist_ok=True)
+            fname = os.path.join(
+                staging, f"stage-{pid:05d}-{uuid.uuid4().hex}.parquet"
+            )
+            pq.write_table(table, fname)
+            # lineage metrics, mirroring encode_with_lineage's per-part
+            # aggregation: every column-chunk row of one page group
+            # shares n_rows, so rows = sum of one n_rows per chunk_id
+            cids = table.column("chunk_id").to_numpy()
+            _, first = np.unique(cids, return_index=True)
+            n_rows = int(table.column("n_rows").to_numpy()[first].sum())
+            row = (
+                pid, n_rows,
+                int(pc.sum(table.column("n_values")).as_py() or 0),
+                int(pc.sum(table.column("plain_bytes")).as_py() or 0),
+                int(pc.sum(table.column("enc_bytes")).as_py() or 0),
+                table.num_rows, time.time() - t0,
+            )
+            return _FileCommit((fname,), row)
         os.makedirs(_chunk_dir(self.path), exist_ok=True)
         # job-millis prefix keeps append file names monotone across jobs
         # (same driver), so a streaming tail's name watermark never skips
@@ -730,6 +840,9 @@ class ChunkStoreWriter(DataSourceArrowWriter):
         return _FileCommit((fname,))
 
     def commit(self, messages):
+        if self.lineage_run_id is not None:
+            self._commit_lineage(messages)
+            return
         if self.overwrite:
             new = {f for m in messages if m for f in m.files}
             for f in self.previous_files:
@@ -741,6 +854,56 @@ class ChunkStoreWriter(DataSourceArrowWriter):
                 {"version": FORMAT_VERSION, "schema": self.schema_json}, fh
             )
 
+    def _commit_lineage(self, messages) -> None:
+        """Publish staged files into ``chunks/run_id=<r>/`` and append
+        the run's lineage rows as ONE atomically-renamed file — the
+        same chunks-first-then-lineage commit protocol as
+        :func:`pysparkenc.lineage.encode_with_lineage`: a crash before
+        the lineage rename leaves only invisible orphans."""
+        run_id = int(self.lineage_run_id)
+        run_dir = os.path.join(_chunk_dir(self.path), f"run_id={run_id}")
+        rows = [m.lineage_row for m in messages if m and m.lineage_row]
+        staged = [f for m in messages if m for f in m.files]
+        if not staged:
+            # nothing landed: withdraw the claimed (empty) run dir
+            try:
+                os.rmdir(run_dir)
+            except OSError:
+                pass
+            return
+        os.makedirs(run_dir, exist_ok=True)
+        for f in staged:
+            os.replace(f, os.path.join(run_dir, os.path.basename(f)
+                                       .replace("stage-", "part-", 1)))
+        _append_lineage_rows(
+            self.path,
+            [(run_id, -1, p, nr, nv, pb, eb, nc, w, "done")
+             for (p, nr, nv, pb, eb, nc, w) in rows],
+        )
+        # post-commit single-writer check (same contract as
+        # encode_with_lineage): a racing committer on the same run id
+        # interleaved its files under this run dir — quarantine the
+        # mixed run so readers stop seeing it, then fail loudly
+        parts, committed = _lineage_done_parts(self.path, run_id)
+        if committed != len(rows):
+            _append_lineage_rows(
+                self.path,
+                [(run_id, run_id, p, 0, 0, 0, 0, 0, 0.0, "superseded")
+                 for p in parts],
+            )
+            raise RuntimeError(
+                f"concurrent commit detected on run {run_id}: {committed} "
+                f"lineage rows landed where this writer appended "
+                f"{len(rows)}. Run {run_id} has been quarantined — stores "
+                "are single-writer; re-run the write, which will commit "
+                "under a fresh run id."
+            )
+        from .lineage import _record_run_schema
+
+        _record_run_schema(
+            self.path, run_id, StructType(list(self.fields))
+        )
+
     def abort(self, messages):
         for m in messages:
             if m is None:
@@ -748,6 +911,15 @@ class ChunkStoreWriter(DataSourceArrowWriter):
             for f in m.files:
                 if os.path.exists(f):
                     os.remove(f)
+        if self.lineage_run_id is not None:
+            # withdraw the claimed run dir if nothing was published to
+            # it (a later retry of the job allocates a fresh id anyway)
+            try:
+                os.rmdir(os.path.join(
+                    _chunk_dir(self.path), f"run_id={self.lineage_run_id}"
+                ))
+            except OSError:
+                pass
 
 
 class ChunkStoreStreamReader(DataSourceStreamReader):
@@ -933,7 +1105,8 @@ class ChunkStoreDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> ChunkStoreWriter:
         path = self._path()
-        self._check_not_lineage(path)
+        if is_lineage_store(path):
+            return self._lineage_writer(path, schema, overwrite)
         sp = _schema_path(path)
         if not overwrite and os.path.exists(sp):
             existing = read_store_schema(path)
@@ -943,6 +1116,56 @@ class ChunkStoreDataSource(DataSource):
                     f"{existing.simpleString()} vs {schema.simpleString()}"
                 )
         return ChunkStoreWriter(path, schema, dict(self.options), overwrite)
+
+    def _lineage_writer(
+        self, path: str, schema: StructType, overwrite: bool
+    ) -> ChunkStoreWriter:
+        """Append to a lineage-managed store AS a lineage commit: a
+        fresh run id (never reusing a disk-occupied one), chunks under
+        ``chunks/run_id=<r>/``, and the per-partition lineage rows
+        appended atomically at job commit — so write.format() and
+        encode_with_lineage produce indistinguishable runs and neither
+        read path can ever disagree about them."""
+        if overwrite:
+            raise ValueError(
+                f"{path} is a lineage-managed store; mode('overwrite') "
+                "would bypass its snapshot history — append here, or "
+                "rewrite through pysparkenc.lineage (compact_store / "
+                "delete_rows / upsert_rows)"
+            )
+        # schema evolution contract (same rule as encode_with_lineage):
+        # a run may ADD or OMIT columns, but a shared column must keep
+        # its logical type, or the union schema decodes chunks under the
+        # wrong kernel
+        live, _dels = _lineage_plan(path)
+        if live:
+            existing = _recover_store_schema(path, live)
+            by_name = {f.name: f for f in existing.fields}
+            for f in schema.fields:
+                old = by_name.get(f.name)
+                if old is None:
+                    continue
+                if engine._logical_of(old) != engine._logical_of(f):
+                    raise ValueError(
+                        f"schema evolution cannot change column "
+                        f"'{f.name}' from {old.dataType.simpleString()} to "
+                        f"{f.dataType.simpleString()} — add a new column "
+                        "instead"
+                    )
+        from .lineage import _on_disk_run_ids
+
+        run_id = max(_lineage_max_run(path),
+                     max(_on_disk_run_ids(path), default=0)) + 1
+        # claim the id on disk NOW: a job crashed before commit leaves
+        # an empty/orphan dir, which _next_run_id treats as occupied
+        os.makedirs(
+            os.path.join(path, _CHUNK_DIR, f"run_id={run_id}"),
+            exist_ok=True,
+        )
+        return ChunkStoreWriter(
+            path, schema, dict(self.options), overwrite,
+            lineage_run_id=run_id,
+        )
 
     def streamWriter(  # noqa: N802 (Spark API name)
         self, schema: StructType, overwrite: bool
@@ -954,12 +1177,15 @@ class ChunkStoreDataSource(DataSource):
     @staticmethod
     def _check_not_lineage(path: str) -> None:
         if is_lineage_store(path):
-            # a format() write lands files the commit records don't know
-            # about — invisible to read_store, half-visible here. Refuse.
+            # the flat stream sink's file-name idempotence scheme cannot
+            # express lineage commits; the supported streaming path into
+            # a lineage store is foreachBatch + encode_with_lineage
+            # (batch_id=), which is exactly-once by construction
             raise ValueError(
-                f"{path} is a lineage-managed store; writes must go through "
-                "pysparkenc.lineage (encode_with_lineage / upsert_rows / "
-                "delete_rows), not write.format('pysparkenc')"
+                f"{path} is a lineage-managed store; stream writes must go "
+                "through foreachBatch + pysparkenc.lineage."
+                "encode_with_lineage(batch_id=batch_id), not "
+                "writeStream.format('pysparkenc')"
             )
 
 

@@ -1233,9 +1233,27 @@ def vacuum_store(
                 removed_tmp += 1
             else:
                 vacuumed[kind].append(rid)
+    # stale _staging files: the data-source writers (batch lineage
+    # appends + the streaming sink) stage task output there and publish
+    # by rename at commit — a killed task/job leaves its stage files
+    # behind. Same age rule; never referenced by any commit record.
+    staged = 0
+    staging = os.path.join(path, "_staging")
+    if os.path.isdir(staging):
+        for f in os.listdir(staging):
+            p = os.path.join(staging, f)
+            try:
+                if (os.path.isfile(p)
+                        and now - os.path.getmtime(p) >= grace_sec):
+                    reclaimed += os.path.getsize(p)
+                    os.remove(p)
+                    staged += 1
+            except OSError:  # pragma: no cover - racing writer
+                pass
     return {
         "vacuumed_runs": vacuumed["chunks"],
         "vacuumed_delete_runs": vacuumed["deletes"],
         "removed_tmp_dirs": removed_tmp,
+        "removed_staging_files": staged,
         "bytes_reclaimed": reclaimed,
     }

@@ -388,16 +388,123 @@ def test_lineage_store_multicol_delete_keys(spark, tmp_path):
 
 
 def test_lineage_store_write_and_stream_guards(spark, tmp_path):
+    """Overwrite and stream I/O on a lineage store refuse with typed
+    errors naming the supported path (append commits a real run — see
+    the tests below)."""
     from pysparkenc.datasource import ChunkStoreDataSource
 
     store, df = _lineage_store(spark, tmp_path)
-    with pytest.raises(Exception, match="lineage-managed"):
-        df.write.format("pysparkenc").mode("append").save(store)
     ds = ChunkStoreDataSource({"path": store})
+    with pytest.raises(ValueError, match="lineage-managed"):
+        ds.writer(df.schema, overwrite=True)
     with pytest.raises(ValueError, match="lineage-managed"):
         ds.streamReader(df.schema)
     with pytest.raises(ValueError, match="lineage-managed"):
         ds.streamWriter(df.schema, False)
+
+
+def test_lineage_store_append_commits_a_run(spark, tmp_path):
+    """mode('append') on a lineage store IS a lineage commit: a fresh
+    run id, chunks under run_id=<r>/, per-partition lineage rows — so
+    read_store and the format() read agree, resume/batch machinery sees
+    the run, and time travel to before the append still works."""
+    from pysparkenc.lineage import read_lineage, read_store
+    from pysparkenc.synth import make_tokens_table
+
+    store, df = _lineage_store(spark, tmp_path)  # run 1, 160 rows
+    extra = (
+        make_tokens_table(spark, 40, seed=77)
+        .withColumn("doc_id", F.concat(F.lit("x_"), F.col("doc_id")))
+    )
+    extra.repartition(2).write.format("pysparkenc").mode("append").save(store)
+
+    # committed as run 2: visible to BOTH read paths, identically
+    assert read_store(spark, store).count() == 200
+    assert spark.read.format("pysparkenc").load(store).count() == 200
+    got = spark.read.format("pysparkenc").load(store)
+    exp = read_store(spark, store)
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+
+    # the lineage rows carry real metrics (rows sum to what was written)
+    lin = read_lineage(spark, store).where(
+        (F.col("run_id") == 2) & (F.col("status") == "done")
+    )
+    rows = lin.agg(
+        F.sum("n_rows").alias("r"), F.sum("enc_bytes").alias("b")
+    ).collect()[0]
+    assert rows["r"] == 40 and rows["b"] > 0
+    assert lin.count() == 2  # one row per written partition
+
+    # time travel to the pre-append snapshot excludes the new rows
+    old = spark.read.format("pysparkenc").option("as_of_run", 1).load(store)
+    assert old.count() == 160
+
+
+def test_lineage_store_append_respects_never_reuse(spark, tmp_path):
+    """A format() append allocates PAST orphan debris on disk, exactly
+    like encode_with_lineage."""
+    import os
+
+    from pysparkenc.lineage import read_store
+    from pysparkenc.synth import make_tokens_table
+
+    store, df = _lineage_store(spark, tmp_path)
+    os.makedirs(store + "/chunks/run_id=7")  # crashed writer's claim
+    extra = make_tokens_table(spark, 10, seed=3).withColumn(
+        "doc_id", F.concat(F.lit("y_"), F.col("doc_id"))
+    )
+    extra.coalesce(1).write.format("pysparkenc").mode("append").save(store)
+    assert os.path.isdir(store + "/chunks/run_id=8")
+    assert read_store(spark, store).count() == 170
+
+
+def test_lineage_store_append_evolves_and_rejects_type_change(
+    spark, tmp_path
+):
+    """An appended run may add a column (union schema, typed nulls for
+    older runs) but must not change a shared column's logical type —
+    the same contract encode_with_lineage enforces."""
+    from pysparkenc.lineage import read_store
+    from pysparkenc.synth import make_tokens_table
+
+    store, df = _lineage_store(spark, tmp_path)
+    extra = (
+        make_tokens_table(spark, 20, seed=5)
+        .withColumn("doc_id", F.concat(F.lit("z_"), F.col("doc_id")))
+        .withColumn("quality", F.lit(0.5))
+    )
+    extra.coalesce(1).write.format("pysparkenc").mode("append").save(store)
+    got = read_store(spark, store)
+    assert got.count() == 180
+    assert got.where(F.col("quality").isNull()).count() == 160
+    assert got.where(F.col("quality") == 0.5).count() == 20
+
+    bad = df.withColumn("n_tok", F.col("n_tok").cast("double"))
+    with pytest.raises(Exception, match="schema evolution"):
+        bad.write.format("pysparkenc").mode("append").save(store)
+
+
+def test_lineage_store_append_then_delete_applies(spark, tmp_path):
+    """Rows appended through format() are first-class for the
+    maintenance surface: equality deletes retract them and compaction
+    materializes the result."""
+    from pysparkenc.lineage import compact_store, delete_rows, read_store
+    from pysparkenc.synth import make_tokens_table
+
+    store, df = _lineage_store(spark, tmp_path)
+    extra = make_tokens_table(spark, 30, seed=9).withColumn(
+        "doc_id", F.concat(F.lit("w_"), F.col("doc_id"))
+    )
+    extra.coalesce(1).write.format("pysparkenc").mode("append").save(store)
+    victims = extra.limit(10).select("doc_id")
+    delete_rows(spark, store, victims)
+    assert read_store(spark, store).count() == 180
+    compact_store(spark, store, num_partitions=2)
+    got = read_store(spark, store)
+    assert got.count() == 180
+    vic = {r["doc_id"] for r in victims.collect()}
+    assert not vic & {r["doc_id"] for r in got.select("doc_id").collect()}
 
 
 def test_lineage_store_pushed_filters_still_prune(spark, tmp_path):

@@ -165,6 +165,29 @@ def test_vacuum_removes_stale_temporary_dirs(spark, tokens_df, tmp_path):
     assert read_store(spark, store).count() == N_DOCS
 
 
+def test_vacuum_removes_stale_staging_files(spark, tokens_df, tmp_path):
+    """Killed data-source writer tasks leave stage files under
+    _staging/ (published files are renamed out at commit); vacuum
+    reclaims the stale ones under the same age rule."""
+    store = str(tmp_path / "store")
+    encode_with_lineage(
+        tokens_df, store, partition_by=("source", "doc_id"),
+        num_partitions=N_PARTS,
+    )
+    staging = store + "/_staging"
+    os.makedirs(staging)
+    with open(staging + "/stage-00000-deadbeef.parquet", "wb") as fh:
+        fh.write(b"x" * 256)
+    old = time.time() - 7200
+    os.utime(staging + "/stage-00000-deadbeef.parquet", (old, old))
+
+    out = vacuum_store(spark, store, grace_sec=3600.0)
+    assert out["removed_staging_files"] == 1
+    assert out["bytes_reclaimed"] >= 256
+    assert not os.listdir(staging)
+    assert read_store(spark, store).count() == N_DOCS
+
+
 def test_compact_idempotence_fence_ignores_orphans(spark, tokens_df,
                                                    tmp_path):
     """as_of_run names the latest COMMIT; orphan dirs occupying higher
