@@ -1180,13 +1180,15 @@ def q_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("pysparkenc")``, read back through ``spark.read.format
     ("pysparkenc")`` with Catalyst filters pushed into the reader (page
     groups pruned by dict-page and stat probes before decode); and
-    (lineage) encode documents with ``encode_with_lineage``, commit an
-    equality delete of a deterministic md5-keyed ~1/8 of doc_ids, and
-    read THROUGH the data source — which must plan from committed runs
-    and apply the delete sets (the r4 seam: a format() read that listed
-    raw chunk files would resurrect the retracted rows and break the
-    hash gate). The oracle recomputes both branches directly on the
-    parquet table."""
+    (lineage) build a lineage store through BOTH write paths — half the
+    documents via ``encode_with_lineage``, half APPENDED via
+    ``df.write.format("pysparkenc")``, which must commit a real lineage
+    run (r5) — commit an equality delete of a deterministic md5-keyed
+    ~1/8 of doc_ids, and read THROUGH the data source — which must plan
+    from committed runs and apply the delete sets (the r4 seam: a
+    format() read that listed raw chunk files would resurrect the
+    retracted rows and break the hash gate). The oracle recomputes both
+    branches directly on the parquet table."""
     import tempfile
 
     from pysparkenc.datasource import register
@@ -1212,9 +1214,22 @@ def q_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     lin = _ds_root + "/lineage"
-    encode_with_lineage(
-        docs, lin, partition_by=("source", "doc_id"), num_partitions=4
+    # the store is built through BOTH lineage write paths (r5): a
+    # deterministic md5-keyed half via encode_with_lineage, the other
+    # half APPENDED via df.write.format("pysparkenc") — which must
+    # commit a real lineage run (fresh run id, chunks under run_id=<r>/,
+    # atomic lineage append), or the second half vanishes from the
+    # commit-planned read below and the hash gate breaks. The delete
+    # then retracts keys across BOTH runs.
+    half = F.pmod(
+        portable_hash60(F.concat(F.col("doc_id"), F.lit("dsw"))), F.lit(2)
     )
+    encode_with_lineage(
+        docs.where(half == 0), lin,
+        partition_by=("source", "doc_id"), num_partitions=3,
+    )
+    (docs.where(half == 1).repartition(2)
+     .write.format("pysparkenc").mode("append").save(lin))
     victims = docs.where(
         F.pmod(
             portable_hash60(F.concat(F.col("doc_id"), F.lit("ds"))),
