@@ -23,6 +23,7 @@ the difference between a runnable job and an impossible one.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterable, Iterator
 
 import numpy as np
@@ -336,16 +337,302 @@ def decode_png(payload: bytes) -> np.ndarray:
     return px.reshape(h, w) if ch == 1 else px.reshape(h, w, ch)
 
 
+_JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], np.int64)
+
+_JPEG_DCT = None
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    global _JPEG_DCT
+    if _JPEG_DCT is None:
+        u = np.arange(8).reshape(8, 1)
+        x = np.arange(8).reshape(1, 8)
+        d = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+        d[0, :] *= 1.0 / np.sqrt(2.0)
+        _JPEG_DCT = d
+    return _JPEG_DCT
+
+
+def _jpeg_huff_table(bits: bytes, vals: bytes) -> dict:
+    """Canonical Huffman decode map: (code_length, code) -> symbol."""
+    out: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded JPEG scan data: un-stuffs
+    0xFF00, stops at any real marker, byte-aligns across RSTn."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.d = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.d):
+            raise ValueError("truncated JPEG entropy data")
+        b = self.d[self.pos]
+        if b == 0xFF:
+            nxt = self.d[self.pos + 1] if self.pos + 1 < len(self.d) else -1
+            if nxt != 0x00:
+                raise ValueError(
+                    f"marker 0xFF{nxt:02X} inside JPEG entropy data"
+                )
+            self.pos += 2
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def symbol(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            s = table.get((length, code))
+            if s is not None:
+                return s
+        raise ValueError("invalid Huffman code in JPEG scan")
+
+    def sync_restart(self, k: int) -> None:
+        self.acc = 0
+        self.n = 0  # discard pad bits: markers are byte-aligned
+        if (self.pos + 1 >= len(self.d) or self.d[self.pos] != 0xFF
+                or self.d[self.pos + 1] != 0xD0 + (k & 7)):
+            raise ValueError("missing expected JPEG restart marker")
+        self.pos += 2
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: s-bit magnitude code -> signed value."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Pure stdlib + numpy decoder for BASELINE sequential JPEG (SOF0/
+    SOF1, Huffman, 8-bit, grayscale or 3-component YCbCr, any 1-2 h/v
+    sampling factors incl. 4:2:0, restart markers honored). Returns
+    uint8 ``(h, w)`` for grayscale or ``(h, w, 3)`` RGB.
+
+    The entropy decode (Huffman + run-length over zigzag coefficients,
+    ITU-T T.81 F.2.2) is a per-symbol Python walk — fixture/metadata
+    scale, not a throughput path; everything after it is vectorized:
+    dequantization, the 2-D inverse DCT (one ``einsum`` of the 8x8
+    DCT-II basis over ALL blocks of a component at once), nearest
+    chroma upsampling (``np.repeat``), and the YCbCr->RGB matrix.
+    Progressive (SOF2), arithmetic-coded, 12-bit, and >2 sampling
+    factors raise ``NotImplementedError`` naming the variant;
+    structural damage raises ``ValueError`` — never a silent
+    mis-decode. Format: ITU-T T.81 + JFIF; tables arrive in the
+    stream's own DQT/DHT segments (nothing is assumed)."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    dri = 0
+    pos = 2
+    scan_comps = None
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG (no SOS/EOI)")
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI before any scan
+            raise ValueError("JPEG ended before scan data")
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4:pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables")
+                if i + 65 > len(body):
+                    raise ValueError("short DQT")
+                t = np.zeros(64, np.float64)
+                t[_JPEG_ZIGZAG] = np.frombuffer(body, np.uint8, 64, i + 1)
+                qt[tq] = t.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                bits = body[i + 1:i + 17]
+                nv = sum(bits)
+                vals = body[i + 17:i + 17 + nv]
+                if len(bits) != 16 or len(vals) != nv:
+                    raise ValueError("short DHT")
+                huff[(tc, th)] = _jpeg_huff_table(bits, vals)
+                i += 17 + nv
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            prec = body[0]
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG precision")
+            h, w = struct.unpack_from(">HH", body, 1)
+            ncomp = body[5]
+            if ncomp not in (1, 3):
+                raise NotImplementedError(f"{ncomp}-component JPEG")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                ch_, cv = hv >> 4, hv & 15
+                if not (1 <= ch_ <= 2 and 1 <= cv <= 2):
+                    raise NotImplementedError(
+                        f"sampling factors {ch_}x{cv} (only 1-2 supported)"
+                    )
+                comps.append({"id": cid, "h": ch_, "v": cv, "tq": tq})
+            sof = {"h": int(h), "w": int(w), "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}: "
+                "progressive/lossless/arithmetic)"
+            )
+        elif marker == 0xDD:  # DRI
+            (dri,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = []
+            for c in range(ns):
+                cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                scan_comps.append((cid, tabs >> 4, tabs & 15))
+            pos = pos + 2 + seglen
+            break
+        pos = pos + 2 + seglen
+    if sof is None or scan_comps is None:
+        raise ValueError("JPEG missing SOF before SOS")
+    if len(scan_comps) != len(sof["comps"]):
+        raise NotImplementedError("multi-scan (non-interleaved) JPEG")
+
+    h, w = sof["h"], sof["w"]
+    if h <= 0 or w <= 0:
+        raise ValueError("degenerate JPEG dimensions")
+    comps = sof["comps"]
+    by_id = {c["id"]: c for c in comps}
+    order = []
+    for cid, dc_t, ac_t in scan_comps:
+        if cid not in by_id:
+            raise ValueError(f"SOS references unknown component {cid}")
+        c = by_id[cid]
+        c["dc"] = huff.get((0, dc_t))
+        c["ac"] = huff.get((1, ac_t))
+        if c["dc"] is None or c["ac"] is None or c["tq"] not in qt:
+            raise ValueError("JPEG scan references a missing DHT/DQT table")
+        order.append(c)
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcx = (w + 8 * hmax - 1) // (8 * hmax)
+    mcy = (h + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        c["coef"] = np.zeros((mcy * c["v"], mcx * c["h"], 64), np.float64)
+        c["prev"] = 0
+
+    rd = _JpegBitReader(payload, pos)
+    rst = 0
+    n_mcu = 0
+    for my in range(mcy):
+        for mx in range(mcx):
+            if dri and n_mcu and n_mcu % dri == 0:
+                rd.sync_restart(rst)
+                rst += 1
+                for c in comps:
+                    c["prev"] = 0
+            for c in order:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = c["coef"][my * c["v"] + by, mx * c["h"] + bx]
+                        s = rd.symbol(c["dc"])
+                        if s > 11:
+                            raise ValueError("invalid JPEG DC category")
+                        c["prev"] += _jpeg_extend(rd.bits(s), s)
+                        blk[0] = c["prev"]
+                        k = 1
+                        while k < 64:
+                            rs = rd.symbol(c["ac"])
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:  # ZRL: sixteen zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflow")
+                            blk[_JPEG_ZIGZAG[k]] = _jpeg_extend(
+                                rd.bits(s), s)
+                            k += 1
+            n_mcu += 1
+
+    d = _jpeg_dct_matrix()
+    planes = []
+    for c in comps:
+        nby, nbx = c["coef"].shape[:2]
+        f = c["coef"].reshape(nby, nbx, 8, 8) * qt[c["tq"]]
+        # inverse DCT of every block at once: B = D^T F D
+        px = np.einsum("ux,...uv,vy->...xy", d, f, d) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        ch_ = (h * c["v"] + vmax - 1) // vmax
+        cw = (w * c["h"] + hmax - 1) // hmax
+        plane = plane[:ch_, :cw]
+        if c["v"] != vmax:
+            plane = np.repeat(plane, vmax // c["v"], axis=0)
+        if c["h"] != hmax:
+            plane = np.repeat(plane, hmax // c["h"], axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(
+        np.uint8)
+
+
 def decode_asset(payload: bytes, kind: str, *, fake: bool = False) -> np.ndarray:
     """Decode an encoded asset to a raw sample array.
 
     Real pure-numpy decoders cover uncompressed PCM WAV (-> samples
-    ``(n_frames, n_channels)``) and uncompressed 24-bit BMP (-> RGB
-    ``(h, w, 3)``), dispatched on magic bytes. Compressed formats
-    (JPEG/MP3/H.264 …) need libjpeg/libsndfile/ffmpeg, absent from this
-    container — those raise ``NotImplementedError``. ``fake=True``
-    bypasses dispatch and returns the payload bytes as uint8 (the
-    deterministic fake the synthetic asset tables use).
+    ``(n_frames, n_channels)``), uncompressed 24-bit BMP (-> RGB
+    ``(h, w, 3)``), zlib PNG, and baseline-Huffman JPEG, dispatched on
+    magic bytes. Remaining compressed formats (MP3/H.264, progressive
+    JPEG …) need libsndfile/ffmpeg, absent from this container — those
+    raise ``NotImplementedError``. ``fake=True`` bypasses dispatch and
+    returns the payload bytes as uint8 (the deterministic fake the
+    synthetic asset tables use).
     """
     if fake:
         return np.frombuffer(payload, dtype=np.uint8)
@@ -355,10 +642,12 @@ def decode_asset(payload: bytes, kind: str, *, fake: bool = False) -> np.ndarray
         return decode_bmp(payload)
     if len(payload) >= 8 and payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if len(payload) >= 3 and payload[:3] == b"\xff\xd8\xff":
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        f"{kind} decoding: only PCM WAV, 24-bit BMP, and 8-bit PNG are "
-        "decodable without native media codecs (JPEG/MP3/H.264 need "
-        "libjpeg/libsndfile/ffmpeg); pass fake=True for the "
+        f"{kind} decoding: only PCM WAV, 24-bit BMP, 8-bit PNG, and "
+        "baseline JPEG are decodable without native media codecs "
+        "(MP3/H.264 need libsndfile/ffmpeg); pass fake=True for the "
         "deterministic byte-stream fake"
     )
 

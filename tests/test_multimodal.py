@@ -154,8 +154,8 @@ def test_decode_truncation_raises_never_misdecodes():
         decode_asset(wav[: len(wav) - 7], "audio")  # short data chunk
     with pytest.raises(ValueError):
         decode_asset(bmp[: len(bmp) - 5], "image")  # short pixel rows
-    with pytest.raises(NotImplementedError):
-        decode_asset(b"\xff\xd8\xff\xe0 jpeg-ish", "image")  # no codec
+    with pytest.raises(ValueError):
+        decode_asset(b"\xff\xd8\xff\xe0 jpeg-ish", "image")  # garbage segment
     # compressed WAV format tags are refused, not garbled
     import struct
 
@@ -268,4 +268,88 @@ def test_real_feature_extraction_includes_png(spark):
     dec = np.frombuffer(decode_asset(png, "image").tobytes(), np.uint8)
     hist = np.bincount(dec >> 4, minlength=16).astype(float)
     assert row["n_bytes"] == len(png)
+    assert np.allclose(row["features"], hist / hist.sum())
+
+
+# ---------------------------------------------------------------- JPEG
+
+
+def _jpeg_bytes(name: str) -> bytes:
+    return open(os.path.join(FIX, name), "rb").read()
+
+
+def _ramp(w: int, h: int) -> np.ndarray:
+    """Recompute scripts/make_jpeg_fixture.ramp — the encoded image."""
+    x = np.arange(w).reshape(1, w)
+    y = np.arange(h).reshape(h, 1)
+    r = (x * 255) // max(w - 1, 1)
+    g = (y * 255) // max(h - 1, 1)
+    b = ((x + y) * 255) // max(w + h - 2, 1)
+    return np.stack(np.broadcast_arrays(r, g, b), axis=-1).astype(np.uint8)
+
+
+def test_decode_jpeg_444_fixture():
+    """Baseline 4:4:4 fixture decodes within JPEG quantization error of
+    the exact ramp it encodes (Annex K tables on smooth ramps: a few
+    LSBs). The tolerance is pinned tight enough that a DCT/zigzag/
+    Huffman defect (tens to hundreds of levels off) cannot pass."""
+    from pysparkenc.multimodal import decode_asset
+
+    img = decode_asset(_jpeg_bytes("ramp444.jpg"), "image")
+    want = _ramp(32, 24)
+    assert img.shape == (24, 32, 3) and img.dtype == np.uint8
+    err = np.abs(img.astype(int) - want.astype(int))
+    assert err.max() <= 10 and err.mean() <= 3.0
+
+
+def test_decode_jpeg_420_restart_fixture():
+    """4:2:0 fixture: interleaved 4-luma+2-chroma MCUs, chroma
+    upsampling, non-multiple-of-16 height (edge MCU padding), and RSTn
+    markers every 2 MCUs — DC predictors must reset at each restart."""
+    from pysparkenc.multimodal import decode_asset
+
+    img = decode_asset(_jpeg_bytes("ramp420.jpg"), "image")
+    want = _ramp(48, 40)
+    assert img.shape == (40, 48, 3) and img.dtype == np.uint8
+    err = np.abs(img.astype(int) - want.astype(int))
+    assert err.max() <= 16 and err.mean() <= 4.0
+
+
+def test_decode_jpeg_rejections_never_misdecode():
+    from pysparkenc.multimodal import decode_jpeg
+
+    good = _jpeg_bytes("ramp444.jpg")
+    # progressive (SOF2) is refused by name, not garbled
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(prog)
+    # truncation anywhere in the entropy stream raises
+    for cut in (2, 21, 100, len(good) - 9):
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_jpeg(good[:cut])
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    # a 12-bit-precision SOF is refused by name
+    sof_at = good.find(b"\xff\xc0")
+    deep = bytearray(good)
+    deep[sof_at + 4] = 12
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        decode_jpeg(bytes(deep))
+
+
+def test_real_feature_extraction_includes_jpeg(spark):
+    from pysparkenc.multimodal import (
+        ASSET_SCHEMA,
+        decode_asset,
+        extract_features,
+    )
+
+    jpg = _jpeg_bytes("ramp420.jpg")
+    assets = spark.createDataFrame(
+        [(11, "image", bytearray(jpg), 48, 40, None, None)], ASSET_SCHEMA
+    )
+    row = extract_features(assets, fake_decode=False).collect()[0]
+    dec = np.frombuffer(decode_asset(jpg, "image").tobytes(), np.uint8)
+    hist = np.bincount(dec >> 4, minlength=16).astype(float)
+    assert row["n_bytes"] == len(jpg)
     assert np.allclose(row["features"], hist / hist.sum())
