@@ -219,13 +219,14 @@ def _recover_store_schema(
             "nothing to infer a schema from"
         )
     agg: dict[str, dict] = {}
+    groups: set[tuple[int, int, int]] = set()
     for r, parts in sorted(live.items()):
         pset = set(parts)
         d = os.path.join(_chunk_dir(path), f"run_id={r}")
         for f in _list_parquet(d):
             t = pq.read_table(
                 f, columns=["col", "col_idx", "logical", "null_count",
-                            "part_id"]
+                            "part_id", "chunk_id"]
             )
             pid = t.column("part_id").to_numpy()
             keep = np.isin(pid, np.asarray(sorted(pset), np.int64))
@@ -236,6 +237,11 @@ def _recover_store_schema(
             idx = t.column("col_idx").to_numpy()
             logical = t.column("logical").to_pylist()
             nc = t.column("null_count").to_numpy(zero_copy_only=False)
+            pid = t.column("part_id").to_numpy()
+            cid = t.column("chunk_id").to_numpy()
+            groups.update(
+                (r, int(p), int(g)) for p, g in zip(pid, cid)
+            )
             for c, i, lg, n in zip(col, idx, logical, nc):
                 base = c[:-4] if c.endswith("#def") else None
                 if "#" in c and not (base is not None and "#" not in base):
@@ -253,7 +259,8 @@ def _recover_store_schema(
                     # (schema evolution's nullability signal)
                     cur["ng"] += 1
     meta = sorted(agg.values(), key=lambda m: m["col_idx"])
-    return engine.assemble_schema_from_meta(meta)
+    return engine.assemble_schema_from_meta(meta,
+                                            total_groups=len(groups))
 
 
 def _delete_drop_mask(
@@ -264,9 +271,13 @@ def _delete_drop_mask(
     rows — the same eqNullSafe semantics as
     :func:`pysparkenc.lineage.apply_deletes`). Returns None when no row
     matches. Single-column keys match exactly via ``is_in``;
-    multi-column keys compare a ``\\x1f``-joined string composite with a
-    null sentinel (exact for the string/numeric keys takedown lists
-    carry)."""
+    multi-column keys compare a LENGTH-PREFIXED byte composite
+    (``<len>:<bytes>`` per field, ``N`` for NULL, concatenated) — each
+    field is self-delimiting, so the encoding is injective for ANY
+    value content: a key value containing a would-be separator byte
+    cannot alias across column boundaries the way a plain joined
+    composite could. Key columns are cast to the row columns' types
+    first so numeric string forms agree."""
     kcols = keys.schema.names
     if len(kcols) == 1:
         c = kcols[0]
@@ -280,16 +291,34 @@ def _delete_drop_mask(
         if has_null_key:
             m = pc.or_(m, pc.is_null(col))
     else:
-        def composite(t: pa.Table) -> pa.Array:
-            parts = [
-                pc.fill_null(
-                    pc.cast(t.column(c), pa.string()), "\x00NULL\x00"
-                )
-                for c in kcols
-            ]
-            return pc.binary_join_element_wise(*parts, "\x1f")
+        out_types = {c: out.column(c).type for c in kcols}
 
-        vs = composite(keys).combine_chunks().unique()
+        def _enc_field(v: pa.ChunkedArray, target: pa.DataType) -> pa.ChunkedArray:
+            if v.type != target:
+                v = pc.cast(v, target)
+            if not (pa.types.is_large_binary(v.type)
+                    or pa.types.is_binary(v.type)
+                    or pa.types.is_large_string(v.type)
+                    or pa.types.is_string(v.type)):
+                v = pc.cast(v, pa.string())
+            v = pc.cast(v, pa.large_binary())
+            ln = pc.cast(
+                pc.cast(pc.binary_length(v), pa.string()), pa.large_binary()
+            )
+            colon = pa.scalar(b":", pa.large_binary())
+            enc = pc.binary_join_element_wise(ln, v, colon)  # "<len>:<bytes>"
+            return pc.fill_null(enc, b"N")  # 'N' never parses as <digit>
+
+        def composite(t: pa.Table) -> pa.Array:
+            parts = [_enc_field(t.column(c).combine_chunks(), out_types[c])
+                     for c in kcols]
+            if len(parts) == 1:
+                return parts[0]
+            return pc.binary_join_element_wise(
+                *parts, pa.scalar(b"", pa.large_binary())
+            )
+
+        vs = pc.unique(composite(keys))
         m = pc.fill_null(pc.is_in(composite(out), value_set=vs), False)
     m = m.combine_chunks() if isinstance(m, pa.ChunkedArray) else m
     return m if pc.any(m).as_py() else None
@@ -447,6 +476,8 @@ class ChunkStoreReader(DataSourceReader):
         self.live: dict[int, tuple[int, ...]] = {}
         self.deletes: list[tuple[int, str, tuple[str, ...]]] = []
         self._key_tabs: dict[int, pa.Table] = {}  # executor-side cache
+        self._decoder = None  # executor-side _group_decoder cache
+        self._widened: tuple[StructType, list[str]] | None = None
         if self.lineage:
             live, dels = _lineage_plan(path, self.as_of_run)
             self.live = live
@@ -461,6 +492,11 @@ class ChunkStoreReader(DataSourceReader):
                 self.deletes.append(
                     (run_id, key_dir, tuple(pq.read_schema(kf[0]).names))
                 )
+            # widen ONCE, driver-side: when a delete key column falls
+            # outside the read schema this consults every committed
+            # file's metadata (_recover_store_schema) — doing it per
+            # chunk file turned a pruned scan into O(files^2) I/O
+            self._widened = self._widened_schema()
         elif self.as_of_run is not None:
             raise ValueError(
                 "as_of_run is only meaningful on a lineage-managed store "
@@ -546,22 +582,50 @@ class ChunkStoreReader(DataSourceReader):
         return out
 
     def _read_lineage_file(self, path: str, run_id: int):
-        decode_schema, user_cols = self._widened_schema()
+        decode_schema, user_cols = self._widened or self._widened_schema()
         allowed: set[str] = set()
         for f in decode_schema.fields:
             allowed |= engine._subtree_chunk_names(f.name, f.dataType)
+        live_pids = list(self.live.get(run_id, ()))
+        # DNF filters: (requested columns OR the col_idx-0 anchor chunk)
+        # AND committed partitions only (orphan part ids from a crashed
+        # encode never decode). The anchor term mirrors decode_table's
+        # schema-evolution rule (engine.py): a group written before
+        # EVERY requested column existed must still decode — as
+        # all-null rows — so one chunk per group must survive to carry
+        # its row count; col_idx 0 exists in every group.
         table = pq.read_table(
             path,
-            # ANDed filters: requested columns AND committed partitions
-            # only (orphan part ids from a crashed encode never decode)
             filters=[
-                ("col", "in", sorted(allowed)),
-                ("part_id", "in", list(self.live.get(run_id, ()))),
+                [("col", "in", sorted(allowed)),
+                 ("part_id", "in", live_pids)],
+                [("col_idx", "==", 0),
+                 ("part_id", "in", live_pids)],
             ],
         )
         if table.num_rows == 0:
             return
-        decode_pages = engine._group_decoder(decode_schema)
+        # blank unrequested anchor payloads (metadata-only carriers),
+        # exactly like decode_table's anchor handling
+        req = pc.is_in(table.column("col"),
+                       value_set=pa.array(sorted(allowed), pa.string()))
+        if not pc.all(req).as_py():
+            blank_data = pc.if_else(
+                req, table.column("data"),
+                pa.scalar(None, table.schema.field("data").type),
+            )
+            blank_aux = pc.if_else(
+                req, table.column("aux"),
+                pa.scalar(None, table.schema.field("aux").type),
+            )
+            table = table.set_column(
+                table.schema.get_field_index("data"), "data", blank_data
+            ).set_column(
+                table.schema.get_field_index("aux"), "aux", blank_aux
+            )
+        if self._decoder is None:  # once per task, not per file
+            self._decoder = engine._group_decoder(decode_schema)
+        decode_pages = self._decoder
         pid = table.column("part_id").to_numpy()
         cid = table.column("chunk_id").to_numpy()
         order = np.lexsort((cid, pid))

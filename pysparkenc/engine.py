@@ -1082,16 +1082,26 @@ def output_schema_of_chunks(chunks_df: DataFrame) -> StructType:
         .orderBy("col_idx")
         .collect()
     )
+    # exact group total — NOT max(ng): with disjoint-column runs
+    # (run 1 writes only a, run 2 only b) the max-count column would
+    # be declared non-nullable even though the other runs' groups
+    # decode it as NULL. Metadata-only aggregate, payload never read.
+    total_groups = (
+        chunks_df.select("part_id", "chunk_id").distinct().count()
+    )
     return assemble_schema_from_meta(
         [
             {"col": r["col"], "logical": r["logical"], "nc": r["nc"],
              "ng": r["ng"]}
             for r in meta
-        ]
+        ],
+        total_groups=total_groups,
     )
 
 
-def assemble_schema_from_meta(meta: list[dict]) -> StructType:
+def assemble_schema_from_meta(
+    meta: list[dict], total_groups: int | None = None
+) -> StructType:
     """Rebuild a Spark schema from pre-aggregated chunk metadata rows
     ``{"col", "logical", "nc", "ng"}`` (one per distinct chunk name,
     sorted by ``col_idx``, primary chunks plus top-level ``#def`` rows
@@ -1103,10 +1113,14 @@ def assemble_schema_from_meta(meta: list[dict]) -> StructType:
     Nullability: a column is nullable when any chunk recorded nulls OR
     when some group lacks the column entirely (schema evolution — the
     anchor rule decodes those groups' rows as nulls, so the recovered
-    field must admit them)."""
+    field must admit them). ``total_groups`` is the EXACT number of
+    distinct ``(part_id, chunk_id)`` groups across the store; callers
+    that cannot supply it fall back to the per-column max, which is
+    only an under-count when runs carry fully disjoint column sets."""
     value_rows = [r for r in meta if "#" not in r["col"]]
-    total_groups = max((int(r.get("ng") or 0) for r in value_rows),
-                       default=0)
+    if total_groups is None:
+        total_groups = max((int(r.get("ng") or 0) for r in value_rows),
+                           default=0)
     value_paths = {r["col"] for r in value_rows}
     nullable_structs = {
         r["col"][:-4]

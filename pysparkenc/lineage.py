@@ -109,12 +109,19 @@ def _check_schema_evolution(spark: SparkSession, path: str, df: DataFrame):
     the union schema ambiguous and decode one run's chunks under the
     wrong kernel. Driver-side, metadata-only, eager (same contract as
     the delete key validation)."""
+    from pyspark.errors import AnalysisException
+
     from .engine import _logical_of, output_schema_of_chunks
 
     try:
         committed = read_committed_chunks(spark, path)
         has_data = bool(committed.limit(1).count())
-    except Exception:
+    except AnalysisException:
+        # no chunks dir yet (fresh store): nothing to check against.
+        # Anything else (corrupt footer, I/O failure) PROPAGATES —
+        # silently skipping the guard on a real read failure would let
+        # a type-changing append commit, the exact poisoned state this
+        # eager validation exists to prevent.
         return
     if not has_data:
         return
@@ -220,13 +227,24 @@ def snapshots(spark: SparkSession, path: str) -> DataFrame:
     ``snapshots`` metadata table analogue), newest first, with an
     ``operation`` column: ``append`` (batch encode), ``stream-append``
     (micro-batch with a ``batch_id``), ``compact`` (a run whose id
-    appears as the compacting ``batch_id`` of superseded markers), or
+    appears as the compacting ``batch_id`` of OTHER runs' superseded
+    markers), ``quarantined`` (a run self-superseded by the concurrent-
+    commit detector — its markers carry ``batch_id == run_id``), or
     ``delete`` (equality-delete commit; ``n_rows`` is its key count).
     Aggregated from the lineage commit records — no chunk payload is
     touched."""
     lin = read_lineage(spark, path)
+    sup = lin.where(F.col("status") == "superseded")
+    # self-supersede (batch_id == run_id) is the quarantine signature;
+    # without the split a quarantined append would masquerade as a
+    # successful compaction in the history
+    quarantined = (
+        sup.where(F.col("batch_id") == F.col("run_id"))
+        .select("run_id").distinct()
+        .withColumn("__quar", F.lit(True))
+    )
     compacting = (
-        lin.where(F.col("status") == "superseded")
+        sup.where(F.col("batch_id") != F.col("run_id"))
         .select(F.col("batch_id").alias("run_id"))
         .distinct()
         .withColumn("__compact", F.lit(True))
@@ -242,14 +260,16 @@ def snapshots(spark: SparkSession, path: str) -> DataFrame:
             F.sum("enc_bytes").alias("enc_bytes"),
             F.max("wall_sec").alias("wall_sec"),
         )
+        .join(F.broadcast(quarantined), "run_id", "left")
         .join(F.broadcast(compacting), "run_id", "left")
         .withColumn(
             "operation",
-            F.when(F.col("__compact"), F.lit("compact"))
+            F.when(F.col("__quar"), F.lit("quarantined"))
+            .when(F.col("__compact"), F.lit("compact"))
             .when(F.col("batch_id") >= 0, F.lit("stream-append"))
             .otherwise(F.lit("append")),
         )
-        .drop("__compact")
+        .drop("__quar", "__compact")
     )
     dels = lin.where(F.col("status") == "delete").select(
         "run_id", "batch_id",
@@ -524,12 +544,17 @@ def delete_rows(
     # committed data runs yet) has no schema to check against — the
     # delete is legal (it applies to nothing) and later appends define
     # the schema, so validation is skipped there.
+    from pyspark.errors import AnalysisException
+
     from .engine import output_schema_of_chunks
 
     try:
         committed = read_committed_chunks(spark, path)
         has_data = bool(committed.limit(1).count())
-    except Exception:
+    except AnalysisException:
+        # fresh store (no chunks dir): the delete applies to nothing
+        # and later appends define the schema. Real read failures
+        # propagate — see _check_schema_evolution.
         has_data = False
     if has_data:
         store_cols = {f.name for f in output_schema_of_chunks(committed)}

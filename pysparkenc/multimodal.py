@@ -467,9 +467,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             raise ValueError("truncated JPEG (no SOS/EOI)")
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
+        # spec-legal 0xFF fill bytes may pad before any marker
+        # (T.81 B.1.1.2): skip them rather than misread the real
+        # marker byte as a segment length
+        while payload[pos + 1] == 0xFF:
+            pos += 1
+            if pos + 4 > len(payload):
+                raise ValueError("truncated JPEG (fill bytes to EOF)")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI before any scan
             raise ValueError("JPEG ended before scan data")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn are standalone markers (no length segment)
+            pos += 2
+            continue
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4:pos + 2 + seglen]
         if len(body) != seglen - 2:

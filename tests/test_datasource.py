@@ -551,3 +551,84 @@ def test_isnull_and_not_isnull_pushdown(spark, tmp_path):
     assert [(p.col, p.kind) for p in pushed] == [
         ("name", "isnull"), ("name", "notnull")
     ]
+
+
+# -------------------------------------------------------------- r5 fixes
+
+
+def test_delete_drop_mask_composite_never_aliases():
+    """Multi-column delete keys are matched with a length-prefixed
+    composite: injective for ANY value content. A plain joined
+    composite let key ('x', 'y<SEP>z') alias live row ('x<SEP>y', 'z')
+    and silently drop an undeleted row through the data source while
+    read_store (per-column eqNullSafe) kept it."""
+    import pyarrow as pa
+
+    from pysparkenc.datasource import _delete_drop_mask
+
+    out = pa.table({"a": ["x\x1fy", "x", "p"], "b": ["z", "y\x1fz", "q"]})
+    keys = pa.table({"a": ["x"], "b": ["y\x1fz"]})
+    assert _delete_drop_mask(out, keys).to_pylist() == [False, True, False]
+
+    # null-safe tuple match; a real value 'N' never aliases NULL
+    out2 = pa.table({
+        "a": ["N", None, "x"],
+        "b": pa.array(["N", None, "y"], pa.string()),
+    })
+    keys2 = pa.table({
+        "a": pa.array([None], pa.string()),
+        "b": pa.array([None], pa.string()),
+    })
+    assert _delete_drop_mask(out2, keys2).to_pylist() == [False, True, False]
+
+    # numeric key table narrower than the store column: cast-aligned
+    out3 = pa.table({"a": pa.array([5, 6], pa.int64()), "b": ["u", "v"]})
+    keys3 = pa.table({"a": pa.array([5], pa.int32()), "b": ["u"]})
+    assert _delete_drop_mask(out3, keys3).to_pylist() == [True, False]
+
+    # digits/colons INSIDE values cannot shift field boundaries
+    out4 = pa.table({"a": ["1", "1:x"], "b": [":x2:ab", "2:ab"]})
+    keys4 = pa.table({"a": ["1:x"], "b": ["2:ab"]})
+    assert _delete_drop_mask(out4, keys4).to_pylist() == [False, True]
+
+    # binary key columns work without a lossy string cast
+    out5 = pa.table({
+        "a": pa.array([b"\xff\x00", b"\x00"], pa.binary()),
+        "b": ["u", "u"],
+    })
+    keys5 = pa.table({"a": pa.array([b"\xff\x00"], pa.binary()), "b": ["u"]})
+    assert _delete_drop_mask(out5, keys5).to_pylist() == [True, False]
+
+    assert _delete_drop_mask(
+        out, pa.table({"a": ["zz"], "b": ["ww"]})
+    ) is None
+
+
+def test_multicol_delete_separator_values_end_to_end(spark, tmp_path):
+    """Separator-looking string keys through the FULL path: commit a
+    delete whose key values contain \\x1f and colons, then read through
+    the data source — only the exact tuple vanishes, and the data
+    source agrees with read_store row-for-row."""
+    from pysparkenc.datasource import register
+    from pysparkenc.lineage import delete_rows, encode_with_lineage, read_store
+
+    path = str(tmp_path / "sep")
+    rows = [
+        ("x\x1fy", "z", 1),
+        ("x", "y\x1fz", 2),
+        ("1", ":x2:ab", 3),
+        ("1:x", "2:ab", 4),
+    ]
+    df = spark.createDataFrame(rows, "a string, b string, v int")
+    encode_with_lineage(df, path, num_partitions=2)
+    delete_rows(
+        spark, path,
+        spark.createDataFrame([("x", "y\x1fz"), ("1:x", "2:ab")],
+                              "a string, b string"),
+        key_cols=("a", "b"),
+    )
+    register(spark)
+    ds = spark.read.format("pysparkenc").load(path)
+    assert sorted(r["v"] for r in ds.collect()) == [1, 3]
+    rs = read_store(spark, path)
+    assert sorted(r["v"] for r in rs.collect()) == [1, 3]

@@ -505,3 +505,70 @@ def test_apply_deletes_exact_run_recovery_past_2_53(spark):
     # delete committed by run itself: must NOT apply (same-run rows)
     got2 = apply_deletes(rows, [(run, keys)], part_col="__part")
     assert sorted(r["doc_id"] for r in got2.collect()) == ["keeper", "victim"]
+
+
+def test_snapshots_label_quarantined_not_compact(spark, tmp_path,
+                                                 monkeypatch):
+    """A quarantined collision run self-supersedes (its markers carry
+    batch_id == run_id); the snapshot history must label it
+    ``quarantined`` — mislabeling it ``compact`` would show an operator
+    a successful compaction where a failed concurrent write happened."""
+    import pytest
+
+    import pysparkenc.lineage as L
+    from pysparkenc.lineage import compact_store, snapshots
+
+    store = str(tmp_path / "store")
+    df = make_tokens_table(spark, 30, seed=48)
+    encode_with_lineage(df, store, num_partitions=1)  # run 1
+    monkeypatch.setattr(L, "_next_run_id", lambda s, p: 2)
+    encode_with_lineage(df, store, num_partitions=1, resume=False)  # run 2
+    with pytest.raises(RuntimeError, match="quarantined"):
+        encode_with_lineage(df, store, num_partitions=1, resume=False)
+    monkeypatch.undo()
+    ops = {r["run_id"]: r["operation"]
+           for r in snapshots(spark, store).collect()}
+    assert ops[2] == "quarantined"
+    assert ops[1] == "append"
+    # a REAL compaction still labels the compacting run `compact`
+    res = compact_store(spark, store)
+    ops2 = {r["run_id"]: r["operation"]
+            for r in snapshots(spark, store).collect()}
+    assert ops2[res["run_id"]] == "compact"
+    assert ops2[2] == "quarantined"
+
+
+def test_delete_and_evolution_guards_propagate_read_failures(
+    spark, tmp_path
+):
+    """The eager pre-commit guards skip only the FRESH-STORE case
+    (AnalysisException: no chunks dir). A real read failure — here a
+    corrupted chunk parquet footer — must PROPAGATE, not silently
+    disable the validation and let a poisoning commit through."""
+    import glob
+
+    import pytest
+
+    from pysparkenc.lineage import delete_rows
+
+    store = str(tmp_path / "store")
+    df = make_tokens_table(spark, 30, seed=49)
+    encode_with_lineage(df, store, num_partitions=1)
+    # corrupt every chunk file's footer
+    for f in glob.glob(f"{store}/chunks/run_id=*/*.parquet"):
+        with open(f, "r+b") as fh:
+            fh.seek(-8, 2)
+            fh.write(b"XXXXXXXX")
+    bad_keys = spark.createDataFrame([("nope",)], "no_such_col string")
+    with pytest.raises(Exception) as ei:
+        delete_rows(spark, store, bad_keys, key_cols=("no_such_col",))
+    # the guard didn't silently pass: no delete run was committed
+    assert "no_such_col" not in str(ei.value) or "do not exist" in str(
+        ei.value
+    )
+    from pysparkenc.lineage import read_lineage
+
+    assert (
+        read_lineage(spark, store).where(F.col("status") == "delete").count()
+        == 0
+    )

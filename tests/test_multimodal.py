@@ -353,3 +353,19 @@ def test_real_feature_extraction_includes_jpeg(spark):
     hist = np.bincount(dec >> 4, minlength=16).astype(float)
     assert row["n_bytes"] == len(jpg)
     assert np.allclose(row["features"], hist / hist.sum())
+
+
+def test_decode_jpeg_fill_bytes_and_tem_markers():
+    """Spec-legal 0xFF fill bytes before a marker (T.81 B.1.1.2) and
+    standalone TEM markers must not desync the header parse — an
+    encoder that pads still decodes, byte-identically to the unpadded
+    stream."""
+    from pysparkenc.multimodal import decode_jpeg
+
+    good = _jpeg_bytes("ramp444.jpg")
+    base = decode_jpeg(good)
+    i = good.find(b"\xff\xc4")  # before the first DHT
+    padded = good[:i] + b"\xff\xff\xff" + good[i:]
+    assert np.array_equal(decode_jpeg(padded), base)
+    temmed = good[:i] + b"\xff\x01" + good[i:]
+    assert np.array_equal(decode_jpeg(temmed), base)

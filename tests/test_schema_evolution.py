@@ -171,3 +171,94 @@ def test_lineage_append_may_omit_columns(spark, tmp_path):
     got = read_store(spark, store)
     assert got.count() == 50
     assert got.where(F.col("source").isNull()).count() == 10
+
+
+# -------------------------------------------------------------- r5 fixes
+
+
+def test_disjoint_column_runs_recover_nullable_schema(spark, tmp_path):
+    """Two runs with FULLY DISJOINT column sets: schema recovery must
+    mark BOTH columns nullable. The old per-column-max group count
+    declared whichever column had the most groups non-nullable, and
+    Catalyst then folded `b IS NULL` to false — silently wrong reads."""
+    from pysparkenc.datasource import register
+    from pysparkenc.lineage import encode_with_lineage, read_store
+
+    path = str(tmp_path / "disjoint")
+    encode_with_lineage(
+        spark.range(10).select(F.col("id").alias("a")), path,
+        num_partitions=2,
+    )
+    encode_with_lineage(
+        spark.range(5).select((F.col("id") * 100).alias("b")), path,
+        num_partitions=2, resume=False,
+    )
+    out = read_store(spark, path)
+    assert {f.name: f.nullable for f in out.schema.fields} == {
+        "a": True, "b": True,
+    }
+    assert out.count() == 15
+    assert out.where(F.col("b").isNull()).count() == 10
+    assert out.where(F.col("a").isNull()).count() == 5
+
+    register(spark)
+    ds = spark.read.format("pysparkenc").load(path)
+    assert {f.name: f.nullable for f in ds.schema.fields} == {
+        "a": True, "b": True,
+    }
+    assert ds.count() == 15
+    assert ds.where(F.col("b").isNull()).count() == 10
+
+
+def test_assemble_schema_exact_group_total():
+    from pysparkenc.engine import assemble_schema_from_meta
+
+    meta = [
+        {"col": "a", "logical": "int64", "nc": 0, "ng": 5},
+        {"col": "b", "logical": "int64", "nc": 0, "ng": 8},
+    ]
+    s = assemble_schema_from_meta(meta, total_groups=13)
+    assert [(f.name, f.nullable) for f in s.fields] == [
+        ("a", True), ("b", True),
+    ]
+    # when every group carries every column, non-nullable survives
+    meta2 = [
+        {"col": "a", "logical": "int64", "nc": 0, "ng": 8},
+        {"col": "b", "logical": "int64", "nc": 0, "ng": 8},
+    ]
+    s2 = assemble_schema_from_meta(meta2, total_groups=8)
+    assert [(f.name, f.nullable) for f in s2.fields] == [
+        ("a", False), ("b", False),
+    ]
+
+
+def test_datasource_explicit_late_column_schema_keeps_old_rows(
+    spark, tmp_path
+):
+    """Reading an evolved lineage store through the data source with an
+    explicit schema of ONLY the late column must still return every
+    row (old groups as nulls) — the anchor rule, mirrored from
+    decode_table into the data source's per-file parquet filter."""
+    from pysparkenc.datasource import register
+    from pysparkenc.lineage import encode_with_lineage
+
+    path = str(tmp_path / "late")
+    encode_with_lineage(
+        spark.range(10).select(F.col("id").alias("doc_id")), path,
+        num_partitions=2,
+    )
+    encode_with_lineage(
+        spark.range(5).select(
+            (F.col("id") + 100).alias("doc_id"),
+            (F.col("id") * 2).alias("quality"),
+        ),
+        path, num_partitions=2, resume=False,
+    )
+    register(spark)
+    ds = spark.read.format("pysparkenc").schema("quality long").load(path)
+    assert ds.count() == 15
+    assert ds.where(F.col("quality").isNull()).count() == 10
+    got = sorted(
+        r["quality"] for r in ds.where(F.col("quality").isNotNull()).collect()
+    )
+    assert got == [0, 2, 4, 6, 8]
