@@ -495,8 +495,13 @@ class ChunkStoreReader(DataSourceReader):
             # widen ONCE, driver-side: when a delete key column falls
             # outside the read schema this consults every committed
             # file's metadata (_recover_store_schema) — doing it per
-            # chunk file turned a pruned scan into O(files^2) I/O
-            self._widened = self._widened_schema()
+            # chunk file turned a pruned scan into O(files^2) I/O.
+            # Only when live data runs exist: a store holding deletes
+            # but no data has no schema to recover AND nothing to read
+            # (partitions() yields one empty partition), so the read
+            # must stay an empty DataFrame, not a load-time error.
+            if self.live:
+                self._widened = self._widened_schema()
         elif self.as_of_run is not None:
             raise ValueError(
                 "as_of_run is only meaningful on a lineage-managed store "
@@ -582,7 +587,12 @@ class ChunkStoreReader(DataSourceReader):
         return out
 
     def _read_lineage_file(self, path: str, run_id: int):
-        decode_schema, user_cols = self._widened or self._widened_schema()
+        # set in __init__ for every store with live runs — the only
+        # callers are partitions planned FROM self.live; falling back
+        # to a per-file recompute here would silently reintroduce the
+        # O(files^2) recovery, so fail loudly instead
+        assert self._widened is not None, "reader widened schema unset"
+        decode_schema, user_cols = self._widened
         allowed: set[str] = set()
         for f in decode_schema.fields:
             allowed |= engine._subtree_chunk_names(f.name, f.dataType)

@@ -1062,8 +1062,18 @@ def output_schema_of_chunks(chunks_df: DataFrame) -> StructType:
     (``list<…>``, ``map<…,…>``, nested ``struct<…>``) are parsed
     recursively; nested-node nullability defaults to nullable."""
     base = F.expr("substring(col, 1, length(col) - 4)")
-    meta = (
-        chunks_df.select("col", "col_idx", "logical", "null_count")
+    # ONE metadata job via grouping sets: the per-column rows carry
+    # (max null_count, distinct groups carrying the column) and the
+    # grand-total row carries the EXACT overall group count — NOT
+    # max(ng): with disjoint-column runs (run 1 writes only a, run 2
+    # only b) a per-column max would declare the widest column
+    # non-nullable even though the other runs' groups decode it as
+    # NULL. Payload bytes are never read.
+    rows = (
+        chunks_df.select(
+            "col", "col_idx", "logical", "null_count", "part_id",
+            "chunk_id",
+        )
         # primary chunks never contain '#'; the only side chunks needed
         # are TOP-LEVEL struct-validity `#def` rows (nested `…#item#def`
         # etc. are reassembly details)
@@ -1071,32 +1081,29 @@ def output_schema_of_chunks(chunks_df: DataFrame) -> StructType:
             ~F.col("col").contains("#")
             | (F.col("col").endswith("#def") & ~base.contains("#"))
         )
-        .groupBy("col", "col_idx", "logical")
+    )
+    agg = (
+        rows.groupingSets(
+            [["col", "col_idx", "logical"], []],
+            "col", "col_idx", "logical",
+        )
         .agg(
             F.max("null_count").alias("nc"),
-            # every column has exactly one chunk row per (part, chunk)
-            # group, so this row count = the number of groups carrying
-            # the column — schema evolution's nullability signal
-            F.count(F.lit(1)).alias("ng"),
+            F.countDistinct("part_id", "chunk_id").alias("ng"),
         )
-        .orderBy("col_idx")
         .collect()
     )
-    # exact group total — NOT max(ng): with disjoint-column runs
-    # (run 1 writes only a, run 2 only b) the max-count column would
-    # be declared non-nullable even though the other runs' groups
-    # decode it as NULL. Metadata-only aggregate, payload never read.
-    total_groups = (
-        chunks_df.select("part_id", "chunk_id").distinct().count()
-    )
-    return assemble_schema_from_meta(
-        [
-            {"col": r["col"], "logical": r["logical"], "nc": r["nc"],
-             "ng": r["ng"]}
-            for r in meta
-        ],
-        total_groups=total_groups,
-    )
+    total_groups = 0
+    meta = []
+    for r in agg:
+        if r["col"] is None:  # the grand-total grouping-set row
+            total_groups = int(r["ng"])
+        else:
+            meta.append({"col": r["col"], "col_idx": r["col_idx"],
+                         "logical": r["logical"], "nc": r["nc"],
+                         "ng": r["ng"]})
+    meta.sort(key=lambda m: m["col_idx"])
+    return assemble_schema_from_meta(meta, total_groups=total_groups)
 
 
 def assemble_schema_from_meta(

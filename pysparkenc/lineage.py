@@ -557,14 +557,39 @@ def delete_rows(
         # propagate — see _check_schema_evolution.
         has_data = False
     if has_data:
-        store_cols = {f.name for f in output_schema_of_chunks(committed)}
-        missing = [c for c in key_cols if c not in store_cols]
+        from .engine import _logical_of
+
+        store_fields = {f.name: _logical_of(f)
+                        for f in output_schema_of_chunks(committed)}
+        missing = [c for c in key_cols if c not in store_fields]
         if missing:
             raise ValueError(
                 f"delete key column(s) {missing} do not exist in the "
-                f"store at {path} (columns: {sorted(store_cols)}); a "
+                f"store at {path} (columns: {sorted(store_fields)}); a "
                 "committed delete on an unknown column would break every "
                 "subsequent read of the store"
+            )
+        # types must match too: a committed key of the wrong type can
+        # never retract a row (string 'abc' vs int64 column) and makes
+        # the data source's type-aligned key cast fail on every
+        # subsequent multi-column read — refuse at commit time, the
+        # only moment with a supported undo (don't commit)
+        key_fields = {f.name: _logical_of(f)
+                      for f in keys_df.select(*key_cols).schema.fields}
+        mistyped = [
+            (c, key_fields[c], store_fields[c])
+            for c in key_cols
+            if key_fields[c] != store_fields[c]
+        ]
+        if mistyped:
+            detail = ", ".join(
+                f"{c}: keys carry {kt} but the store column is {st}"
+                for c, kt, st in mistyped
+            )
+            raise TypeError(
+                f"delete key column type mismatch ({detail}); cast the "
+                "keys DataFrame to the store's column types before "
+                "committing the delete"
             )
     run_id = _next_run_id(spark, path)
     keys = keys_df.select(*key_cols).distinct()

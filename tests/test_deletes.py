@@ -562,13 +562,43 @@ def test_delete_and_evolution_guards_propagate_read_failures(
     bad_keys = spark.createDataFrame([("nope",)], "no_such_col string")
     with pytest.raises(Exception) as ei:
         delete_rows(spark, store, bad_keys, key_cols=("no_such_col",))
-    # the guard didn't silently pass: no delete run was committed
-    assert "no_such_col" not in str(ei.value) or "do not exist" in str(
-        ei.value
-    )
+    # the READ failure propagated — the guard did not get as far as
+    # its own name validation (which would raise 'do not exist'), nor
+    # did it silently treat the store as empty and commit
+    assert "do not exist in the" not in str(ei.value)
     from pysparkenc.lineage import read_lineage
 
     assert (
         read_lineage(spark, store).where(F.col("status") == "delete").count()
         == 0
     )
+
+
+def test_delete_key_type_mismatch_refused_at_commit(spark, tmp_path):
+    """A committed delete whose key TYPE disagrees with the store column
+    can never retract a row and makes the data source's type-aligned
+    key cast fail on every later multi-column read — it must be refused
+    at commit time, the only moment with a supported undo."""
+    import pytest
+
+    from pysparkenc.datasource import register
+    from pysparkenc.lineage import delete_rows, read_store
+
+    store = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(1, "u", 10), (2, "v", 20)], "a long, b string, v int"
+    )
+    encode_with_lineage(df, store, num_partitions=1)
+    bad = spark.createDataFrame([("abc", "u")], "a string, b string")
+    with pytest.raises(TypeError, match="type mismatch"):
+        delete_rows(spark, store, bad, key_cols=("a", "b"))
+    # nothing committed; both read paths still agree and see every row
+    register(spark)
+    assert read_store(spark, store).count() == 2
+    assert spark.read.format("pysparkenc").load(store).count() == 2
+    # a correctly-typed delete still works
+    ok = spark.createDataFrame([(1, "u")], "a long, b string")
+    delete_rows(spark, store, ok, key_cols=("a", "b"))
+    assert sorted(
+        r["v"] for r in spark.read.format("pysparkenc").load(store).collect()
+    ) == [20]
