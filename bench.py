@@ -804,10 +804,39 @@ def render_bench_md() -> None:
             write_bench_md(json.load(f))
 
 
+_TEMPLATE_HEADERS = (
+    "## Host capacity calibration",
+    "## Scaling result",
+    "## Quality gates measured alongside throughput",
+    "## Skew defusal:",
+    "## Pack-sequences skew defusal:",
+    "## Page sizing:",
+)
+
+
+def _extra_sections(path: str) -> str:
+    """Hand-written BENCH.md sections (anything whose `## ` header is
+    not produced by this template) — preserved verbatim across
+    rewrites, so `--scaling` can never clobber results recorded by
+    other benches or by hand."""
+    if not os.path.exists(path):
+        return ""
+    import re as _re
+
+    text = open(path).read()
+    out = []
+    for m in _re.finditer(r"(?ms)^## .*?(?=^## |\Z)", text):
+        sec = m.group(0)
+        if not any(sec.startswith(h) for h in _TEMPLATE_HEADERS):
+            out.append(sec.rstrip() + "\n")
+    return ("\n" + "\n".join(out)) if out else ""
+
+
 def write_bench_md(s: dict) -> None:
     with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
         json.dump(s, f, indent=1)
     path = os.path.join(REPO, "BENCH.md")
+    extra = _extra_sections(path)
     cap_rows = "\n".join(
         f"| {c['procs']} | {c['wall_sec']} | {c['effective_parallelism']} |"
         for c in s["host_capacity"]
@@ -883,7 +912,7 @@ the query suite runs best-of-2 full passes (override with `BENCH_PASSES`)
 and the flagship encode best-of-3 trials, because the shared host shows
 multi-minute contention windows that can tax one section of a single
 pass 2-3x.
-{_skew_section()}{_pack_skew_section()}{_pages_section()}"""
+{_skew_section()}{_pack_skew_section()}{extra}{_pages_section()}"""
     with open(path, "w") as f:
         f.write(body)
 
