@@ -13,14 +13,17 @@ from __future__ import annotations
 import random
 
 import pytest
+from pyspark.sql import functions as F
 
 from pysparkenc.lineage import (
     compact_store,
     delete_rows,
     encode_with_lineage,
     expire_runs,
+    read_lineage,
     read_store,
     upsert_rows,
+    vacuum_store,
 )
 
 
@@ -41,9 +44,13 @@ def _run_scenario(spark, store, seed):
         next_id += n
         return out
 
-    # always start with an append so every op has something to act on
+    # always start with an append so every op has something to act on.
+    # ds_append drives the SECOND write path (df.write.format) and
+    # vacuum the r5 orphan reclaim — both must compose with everything
+    # else in any order
     ops = ["append"] + [
-        rng.choice(["append", "delete", "upsert", "compact", "expire"])
+        rng.choice(["append", "delete", "upsert", "compact", "expire",
+                    "ds_append", "vacuum"])
         for _ in range(rng.randrange(4, 7))
     ]
     snapshots: list[tuple[int, dict[str, int], bool]] = []
@@ -74,6 +81,24 @@ def _run_scenario(spark, store, seed):
         elif op == "compact" and model:
             c = compact_store(spark, store, num_partitions=2)
             snapshots.append((c["run_id"], dict(model), False))
+        elif op == "ds_append":
+            from pysparkenc.datasource import register
+
+            register(spark)
+            items = [(k, rng.randrange(1000))
+                     for k in fresh(rng.randrange(2, 6))]
+            (_mk_rows(spark, items).repartition(1)
+             .write.format("pysparkenc").mode("append").save(store))
+            model.update(items)
+            run_id = int(
+                read_lineage(spark, store)
+                .agg(F.max("run_id").alias("m")).collect()[0]["m"]
+            )
+            snapshots.append((run_id, dict(model), False))
+        elif op == "vacuum":
+            # grace 0: anything uncommitted is reclaimable NOW; visible
+            # results must be identical before and after
+            vacuum_store(spark, store, grace_sec=0.0)
         elif op == "expire":
             expire_runs(spark, store)
             # time travel to runs superseded by a compaction stops
@@ -83,6 +108,15 @@ def _run_scenario(spark, store, seed):
 
     got = {r["k"]: r["v"] for r in read_store(spark, store).collect()}
     assert got == model, (seed, ops)
+
+    # the data source read path must agree with read_store on the SAME
+    # maintained store, whatever the op history (the r4 seam)
+    from pysparkenc.datasource import register
+
+    register(spark)
+    ds = {r["k"]: r["v"]
+          for r in spark.read.format("pysparkenc").load(store).collect()}
+    assert ds == model, (seed, ops)
 
     # time travel: every commit boundary must reproduce the model as it
     # was then (skip snapshots taken before an expire pass — their
