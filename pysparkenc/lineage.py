@@ -342,6 +342,15 @@ def encode_with_lineage(
 ) -> dict:
     """Encode ``df`` into ``path`` with per-partition lineage; resumable.
 
+    ``resume=True`` (the default) means THIS CALL CONTINUES the same
+    logical encode: partitions whose part_id already committed are
+    skipped, so re-running after a crash encodes only what is missing.
+    To APPEND a second dataset to an existing store pass
+    ``resume=False`` (fresh run, all partitions written) — with the
+    default, an append whose part ids collide with committed ones
+    silently reduces to a no-op (the result then carries a ``hint``
+    saying so).
+
     Returns run metrics. ``drop_part_ids`` is a test-only fault injector:
     those partitions' output is discarded before commit, simulating a job
     killed after a partial run — the next call with ``resume=True``
@@ -493,7 +502,7 @@ def encode_with_lineage(
         F.sum("plain_bytes").alias("plain"),
         F.sum("enc_bytes").alias("enc"),
     ).collect()[0]
-    return {
+    out = {
         "run_id": run_id,
         "wall_sec": wall,
         "partitions": agg["parts"],
@@ -504,6 +513,18 @@ def encode_with_lineage(
         "skipped_partitions": skipped,
         "compression_ratio": (agg["plain"] or 0) / max(1, agg["enc"] or 0),
     }
+    if skipped and not out["rows"]:
+        # the resume anti-join dropped EVERYTHING: this call was a
+        # no-op. Correct for a true resume of a completed encode, but
+        # the classic footgun when the caller meant to APPEND a second
+        # dataset (part ids collide with the committed run's). Say so
+        # in the result instead of leaving a silent empty run.
+        out["hint"] = (
+            "all partitions were already committed (resume semantics); "
+            "to APPEND a new dataset to this store pass resume=False "
+            "(or batch_id=... for streaming micro-batches)"
+        )
+    return out
 
 
 def delete_rows(

@@ -532,3 +532,22 @@ def test_compact_max_run_bytes_selects_small_runs(spark, tmp_path):
     # selecting nothing is a no-op, not an error
     m2 = compact_store(spark, store, max_run_bytes=1)
     assert m2["run_id"] == -1 and m2["selected_runs"] == []
+
+
+def test_resume_noop_append_carries_hint(spark, tmp_path):
+    """encode_with_lineage with default resume=True on a store whose
+    part ids are all committed is a no-op (correct for a true resume) —
+    but the result must SAY so, because the same call shape is the
+    classic accidental-append footgun."""
+    from pysparkenc.lineage import encode_with_lineage
+
+    store = str(tmp_path / "store")
+    df = spark.range(20).select(F.col("id").alias("k"))
+    r1 = encode_with_lineage(df, store, num_partitions=2)
+    assert "hint" not in r1 and r1["rows"] == 20
+    r2 = encode_with_lineage(df, store, num_partitions=2)  # oops: no-op
+    assert r2["rows"] == 0 and r2["skipped_partitions"] == 2
+    assert "resume=False" in r2.get("hint", "")
+    # the intended append works and carries no hint
+    r3 = encode_with_lineage(df, store, num_partitions=2, resume=False)
+    assert r3["rows"] == 20 and "hint" not in r3
