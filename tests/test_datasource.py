@@ -632,3 +632,43 @@ def test_multicol_delete_separator_values_end_to_end(spark, tmp_path):
     assert sorted(r["v"] for r in ds.collect()) == [1, 3]
     rs = read_store(spark, path)
     assert sorted(r["v"] for r in rs.collect()) == [1, 3]
+
+
+def test_delete_drop_mask_matches_tuple_set_model():
+    """Property: for ANY key/row content (including separator bytes,
+    digits, colons, empty strings, NULLs), the mask equals the naive
+    per-row tuple-set membership with eqNullSafe semantics."""
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pysparkenc.datasource import _delete_drop_mask
+
+    val = st.one_of(
+        st.none(),
+        st.text(
+            alphabet=st.sampled_from(list("ab:\x1f12N") + ["\x00"]),
+            max_size=4,
+        ),
+    )
+    row = st.tuples(val, val)
+
+    @settings(max_examples=150, deadline=None)
+    @given(rows=st.lists(row, min_size=1, max_size=12),
+           keys=st.lists(row, min_size=1, max_size=6))
+    def check(rows, keys):
+        out = pa.table({
+            "a": pa.array([r[0] for r in rows], pa.string()),
+            "b": pa.array([r[1] for r in rows], pa.string()),
+        })
+        kt = pa.table({
+            "a": pa.array([k[0] for k in keys], pa.string()),
+            "b": pa.array([k[1] for k in keys], pa.string()),
+        })
+        m = _delete_drop_mask(out, kt)
+        kset = set(keys)
+        want = [r in kset for r in rows]
+        got = m.to_pylist() if m is not None else [False] * len(rows)
+        assert got == want, (rows, keys)
+
+    check()
